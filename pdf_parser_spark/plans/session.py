@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the extraction workload (SURVEY §4).
+
+Scale rationale (targets a 1000-executor cluster; local[N] here):
+  - AQE on: runtime coalescing + skew-join splitting absorb the
+    document-size skew the corpus is built with (mega-docs, hot hosts).
+  - Arrow batches capped so a batch of page-text blobs fits executor
+    memory (html/text rows are KB-MB scale, unlike typical columns).
+  - shuffle.partitions sized for local test runs; production submit
+    overrides via spark-submit --conf (jobs/extract.py documents the
+    cluster profile).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB / ~128 MB splits there are ~800k scan tasks; shuffle
+# partitions should track cluster cores × 2-3, set at submit time.
+# Locally: cores × 2 keeps all 32 threads busy without tiny-task spam.
+_LOCAL_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # page text rows are large; keep Arrow batches small enough that
+    # batch_size × avg_row_bytes stays well under worker memory
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "pdf-parser-spark", cpus: int | None = None) -> SparkSession:
+    """local[N] session with the engine's tuned defaults.
+
+    N comes from (in order): explicit arg, $SPARK_GRAFT_CPUS, all cores.
+    """
+    n = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = SparkSession.builder.appName(app_name).master(f"local[{n}]")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if shuffle is None:
+        cores = os.cpu_count() or 8 if n == "*" else int(n)
+        shuffle = str(max(8, cores * 2))
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    for key, value in _LOCAL_DEFAULTS.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
