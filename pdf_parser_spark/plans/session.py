@@ -13,6 +13,9 @@ Scale rationale (targets a 1000-executor cluster; local[N] here):
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -47,4 +50,24 @@ def get_spark(app_name: str = "pdf-parser-spark", cpus: int | None = None) -> Sp
     builder = builder.config("spark.sql.shuffle.partitions", shuffle)
     for key, value in _LOCAL_DEFAULTS.items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executors (local or cluster).
+
+    Python workers don't inherit the driver's sys.path mutations, so a
+    job launched from outside the repo root fails with
+    ModuleNotFoundError inside pandas UDFs. Zipping the package and
+    addPyFile-ing it is the same mechanism `spark-submit --py-files`
+    uses and works identically on a real cluster.
+    """
+    pkg_dir = pathlib.Path(__file__).resolve().parent.parent
+    zip_path = pathlib.Path(tempfile.gettempdir()) / f"pdf_parser_spark_{os.getpid()}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    spark.sparkContext.addPyFile(str(zip_path))

@@ -1,0 +1,57 @@
+"""Distributed extraction == local core pipeline, byte-for-byte per url."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.core.pipeline import extract_document
+from pdf_parser_spark.operators import extract as ox
+from pdf_parser_spark.sources.corpus import synthetic_documents
+from pdf_parser_spark.sources.synth import generate_corpus
+
+N_DOCS = 40
+
+
+def test_extract_matches_core(spark):
+    docs = synthetic_documents(spark, N_DOCS, seed=42, partitions=8)
+    extracted = ox.extract_documents(ox.salted_repartition(docs, 8)).cache()
+
+    got = {r["url"]: r.asDict(recursive=True) for r in extracted.collect()}
+    assert len(got) == N_DOCS
+
+    for doc in generate_corpus(N_DOCS, seed=42):
+        expected = extract_document(doc["text"], doc_title=doc["url"])
+        g = got[doc["url"]]
+        assert g["status"] == expected["status"], doc["url"]
+        assert g["toc"] == expected["toc"], doc["url"]
+        # chunk content byte identity is THE correctness metric
+        assert g["chunks"] == expected["chunks"], doc["url"]
+        assert (g["validation"] or None) == expected["validation"] or (
+            g["validation"] == expected["validation"]
+        ), doc["url"]
+        if expected["metrics"] is not None:
+            assert g["metrics"] == expected["metrics"], doc["url"]
+
+    # flat tables explode cleanly
+    assert ox.toc_table(extracted).count() == sum(len(v["toc"]) for v in got.values())
+    assert ox.chunks_table(extracted).count() == sum(len(v["chunks"]) for v in got.values())
+
+    lineage = ox.lineage_metrics(extracted).collect()
+    assert sum(r["docs"] for r in lineage) == N_DOCS
+    assert all(r["docs_per_sec"] > 0 for r in lineage)
+    extracted.unpersist()
+
+
+def test_extract_plan_prunes_columns(spark, tmp_path):
+    """The extract path must never read the html binary column: the
+    parquet ReadSchema has to collapse to url+text."""
+    path = str(tmp_path / "docs.parquet")
+    synthetic_documents(spark, 4, seed=1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    plan = ox.extract_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "html" not in read_schema[0], read_schema[0]
+    assert "url" in read_schema[0] and "text" in read_schema[0], read_schema[0]
