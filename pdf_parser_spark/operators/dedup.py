@@ -1,0 +1,269 @@
+"""Corpus deduplication operators (training-data pipeline tier).
+
+Exact + near-duplicate detection over a text column, all as native
+DataFrame plans (no Python in the hot path):
+
+  exact_duplicates      md5-fingerprint hash-groupBy (1 shuffle)
+  minhash_signatures    k-permutation MinHash via xxhash64(shingle, seed)
+  lsh_candidate_pairs   banded signature join (classic MinHash-LSH)
+  verified_near_dups    candidates re-checked with exact Jaccard
+  simhash               32-bit sign-of-sum SimHash per document
+  blocked_jaccard_pairs SQL-oracle-able near-dup via (lang, n_chars)
+                        blocking + distinct-word Jaccard
+  embedding_near_dups   cosine near-dup within label buckets
+
+Scale notes (10^12 docs):
+  - every pairwise step is blocked (LSH bands / equality blocks /
+    label buckets) — nothing is O(n²) across the corpus;
+  - shingle explode is the big intermediate: size ≈ tokens × k via
+    (shingle, seed) hashing, kept as one shuffle into
+    groupBy(doc).agg(min ...) with map-side partial aggregation;
+  - band join is an equi-join on (band, band_hash) — AQE handles the
+    hot-bucket skew (identical boilerplate pages land in one bucket;
+    cap with `max_bucket_size` salting guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text_metrics import fingerprint, word_array
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) texts: one row per duplicate group
+    with the keeper (min key) and the group size."""
+    return (
+        df.select(F.col(key_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(key_col).alias("keep_" + key_col),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min key) per identical text."""
+    ranked = df.withColumn("fp", fingerprint(F.col(text_col)))
+    keepers = ranked.groupBy("fp").agg(F.min(key_col).alias(key_col))
+    return ranked.join(keepers, on=["fp", key_col], how="inner").drop("fp")
+
+
+def shingles(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (posexplode + window
+    of the word array — stays native via transform/slice)."""
+    words = word_array(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        df.select(F.col(key_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, key_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """(key, signature array<long>) — min over xxhash64(shingle, seed)
+    per seed. One explode (×num_hashes) + one partial-aggregated
+    groupBy; seeds are constants so the hash stays codegen'd."""
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    hashed = shingle_df.select(
+        key_col,
+        F.explode(seeds).alias("seed"),
+        F.col("shingle"),
+    ).select(key_col, "seed", F.xxhash64("shingle", "seed").alias("h"))
+    return (
+        hashed.groupBy(key_col, "seed")
+        .agg(F.min("h").alias("mh"))
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sig_structs"))
+        .select(key_col, F.col("sig_structs.mh").alias("signature"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, key_col: str = "doc_id", bands: int = 8
+) -> DataFrame:
+    """Banded LSH: docs agreeing on any full band become a candidate
+    pair. Equi-join per band → shuffle on (band, band_hash) only."""
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    banded = signatures.select(
+        key_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(key_col, "bh.band", "bh.band_hash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{key_col}") < F.col(f"b.{key_col}"),
+            ],
+        )
+        .select(F.col(f"a.{key_col}").alias("id_a"), F.col(f"b.{key_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def verified_near_dups(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Re-check candidate pairs with exact shingle-set Jaccard."""
+    sets_df = (
+        shingles(df, text_col, key_col, n=shingle_n)
+        .groupBy(key_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    a = sets_df.select(F.col(key_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(key_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.when(union == 0, F.lit(0.0)).otherwise(inter / union))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Sign-of-sum SimHash over distinct words (native bit ops)."""
+    words = df.select(
+        key_col, F.explode(F.array_distinct(word_array(F.col(text_col)))).alias("w")
+    ).where(F.col("w") != "")
+    hashed = words.select(key_col, F.xxhash64("w").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    summed = hashed.groupBy(key_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return summed.select(key_col, sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    sim: DataFrame, key_col: str = "doc_id", max_hamming: int = 3, bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """Hamming-ball near-dup pairs via band blocking + popcount check."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sim.select(
+        key_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("piece"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bp"),
+    ).select(key_col, "simhash", "bp.band", "bp.piece")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.piece") == F.col("b.piece"),
+                F.col(f"a.{key_col}") < F.col(f"b.{key_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("id_a"),
+            F.col(f"b.{key_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).where(hamming <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    block_cols: tuple[str, ...] = ("lang", "n_chars"),
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SQL-oracle-able near-dup: candidate pairs share an equality
+    block; similarity = Jaccard over distinct words."""
+    words = df.select(
+        *block_cols, F.col(key_col), F.explode(F.array_distinct(word_array(F.col(text_col)))).alias("w")
+    ).where(F.col("w") != "")
+    sets_df = words.groupBy(*block_cols, key_col).agg(F.collect_set("w").alias("ws"))
+    a = sets_df.select(*[F.col(c).alias(f"{c}") for c in block_cols], F.col(key_col).alias("id_a"), F.col("ws").alias("ws_a"))
+    b = sets_df.select(*[F.col(c).alias(f"{c}_b") for c in block_cols], F.col(key_col).alias("id_b"), F.col("ws").alias("ws_b"))
+    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols] + [F.col("id_a") < F.col("id_b")]
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size("ws_a") + F.size("ws_b") - inter
+    return (
+        a.join(b, on=cond)
+        .withColumn("jaccard", F.when(union == 0, F.lit(0.0)).otherwise(inter / union))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicates within equality buckets (e.g. label or a
+    coarse LSH bucket) — the blocked form of embedding dedup."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    base = emb.select(bucket_col, F.col(key_col), F.col(vec_col), norm.alias("nrm")).where(F.col("nrm") > 0)
+    a = base.select(F.col(bucket_col).alias("bk"), F.col(key_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("nrm").alias("n_a"))
+    b = base.select(F.col(bucket_col).alias("bk_b"), F.col(key_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("nrm").alias("n_b"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, on=[F.col("bk") == F.col("bk_b"), F.col("id_a") < F.col("id_b")])
+        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+  cosine_topk         brute-force top-k vs one query vector — the
+                      exact baseline; one scan, no shuffle before the
+                      top-k (TakeOrderedAndProject)
+  rhp_buckets         random-hyperplane LSH bucket ids (deterministic,
+                      seed-hashed planes; no stored plane matrix)
+  ann_topk            bucketed approximate top-k: probe only vectors
+                      sharing the query's bucket (multi-probe via
+                      Hamming-1 neighbors optional)
+
+Scale notes: brute force is O(n·d) per query — fine as a batch scorer
+(one pass over 10^12 rows, fully parallel), wrong for interactive
+lookups; rhp bucketing cuts the probe set by ~2^bits. All math is
+double-precision native exprs (zip_with/aggregate), no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+
+
+def with_cosine(
+    emb: DataFrame, query_vec: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a `cosine` column vs a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    cos = _dot(F.col(vec_col), q) / (F.lit(qn) * _norm(F.col(vec_col)))
+    return emb.withColumn("cosine", cos)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine (desc), key asc tiebreak — physical plan
+    is TakeOrderedAndProject: per-partition heap + driver merge, no
+    full sort, no shuffle of the losers."""
+    return (
+        with_cosine(emb, query_vec, vec_col)
+        .select(key_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def rhp_buckets(
+    emb: DataFrame, bits: int = 8, seed: int = 7, vec_col: str = "embedding", dims: int | None = None
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per row.
+
+    Plane weights are pseudo-random ±1 derived from xxhash64(dim, bit,
+    seed) — deterministic, nothing to broadcast, recomputable on both
+    sides of any join. bucket = Σ_b [dot(v, plane_b) > 0] << b.
+    """
+    bucket = F.lit(0)
+    for b in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec_col) - 1),
+                    lambda i: F.when(
+                        F.xxhash64(i, F.lit(b), F.lit(seed)).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return emb.withColumn("bucket", bucket)
+
+
+def ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 7,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket.
+
+    The bucket filter is a pushable predicate on a precomputable
+    column — at scale, store `bucket` as a partition/cluster key and
+    the probe prunes to ~n/2^bits rows.
+    """
+    bucketed = rhp_buckets(emb, bits=bits, seed=seed, vec_col=vec_col)
+    # compute the query's bucket with the same expression on a 1-row DF
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col}: array<float>")
+    qbucket = rhp_buckets(qdf, bits=bits, seed=seed, vec_col=vec_col).collect()[0]["bucket"]
+    return cosine_topk(
+        bucketed.where(F.col("bucket") == qbucket), query_vec, k=k, key_col=key_col, vec_col=vec_col
+    )
+
+
+def centroids(emb: DataFrame, by: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-group mean vector via positional explode + avg (native)."""
+    exploded = emb.select(by, F.posexplode(vec_col).alias("pos", "val"))
+    return (
+        exploded.groupBy(by, "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
+        .groupBy(by)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("s"))
+        .select(by, F.col("s.mean_val").alias("centroid"))
+    )
