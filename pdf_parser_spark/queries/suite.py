@@ -1,0 +1,1085 @@
+"""Driver-contract query suite: Spark plans + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 (and the training-data tier)
+gets a named query over /root/testdata parquet tables plus an ANSI-SQL
+oracle that DuckDB evaluates on the same files. Column names/types are
+aligned on both sides because the driver's comparator hashes values
+with columns sorted by name.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+  - never SUM doubles: money math goes through DECIMAL casts (exact,
+    order-insensitive), counts/ints sum natively;
+  - AVG only over ints, or rounded to 4-6 dp where double partial-agg
+    ordering could wobble the last ulp;
+  - every top-k orders by an exact (decimal/int) key with a unique
+    tiebreaker before LIMIT;
+  - timestamps compared as unix micros (Spark session is UTC).
+
+The extraction-grammar queries synthesize ToC/heading/caption lines
+from `documents` with seeded arithmetic on doc_id; the oracle derives
+the *expected output* independently (direct construction), so the
+Spark side genuinely exercises the parser/extractor operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import text_metrics as tm
+from ..functions.normalize import normalize_text_native, strip_dot_leaders_native
+from ..operators import chunk_native as cn
+from ..operators import dedup
+from ..operators import similarity as sim
+from ..operators import text_analysis as ta
+from ..operators import toc_native as tn
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Relational core (joins/aggs/windows — SURVEY §2.6-2.8 analogues)
+# =====================================================================
+
+_DEC2 = "decimal(18,2)"
+_DEC4 = "decimal(18,4)"
+
+
+def _disc_price() -> "F.Column":
+    """Exact decimal l_extendedprice*(1-l_discount) — order-insensitive sum."""
+    dp = F.col("l_extendedprice").cast(_DEC2)
+    dd = F.col("l_discount").cast(_DEC4)
+    return (dp * (F.lit(1).cast(_DEC4) - dd)).cast("decimal(28,6)")
+
+
+_SQL_DISC_PRICE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,6))"
+)
+
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    """TPC-H Q1-shape hash agg (SURVEY A3): one shuffle, partial agg
+    map-side, decimal sums for cross-engine exactness."""
+    li = _t(spark, sf, "lineitem")
+    dq = F.col("l_quantity").cast(_DEC2)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dq).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_DEC2)).cast("double").alias("sum_base_price"),
+        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(dq).cast("double") / F.count("*"), 6).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q02_top_revenue_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY SUM({_SQL_DISC_PRICE}) DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q02(spark, sf):
+    """TPC-H Q3-shape: broadcast dim filter → two joins → agg → exact
+    decimal-ordered top-k (ties broken by key, so LIMIT is stable)."""
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(_disc_price()).alias("rev_d"))
+        .orderBy(F.col("rev_d").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderpriority", F.col("rev_d").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q03_nation_revenue",
+    f"""
+    SELECT n.n_name, CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n_lineitems
+    FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q03(spark, sf):
+    """TPC-H Q5-shape local-supplier join chain; nation/region/supplier
+    broadcast (small dims), fact-fact join shuffles on orderkey only."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"), F.count("*").alias("n_lineitems"))
+    )
+
+
+@register(
+    "q04_bulk_parts_semi",
+    """
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    GROUP BY p_brand
+    """,
+)
+def q04(spark, sf):
+    """Left-semi join (SURVEY J7 gating shape): parts with any bulk
+    lineitem; the probe side is pre-filtered before the shuffle."""
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "q05_customers_without_orders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q05(spark, sf):
+    """Left-anti join (SURVEY J4/J5 extra/missing-sections shape):
+    customers who never placed a large order."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q06_discount_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+    """,
+)
+def q06(spark, sf):
+    """TPC-H Q6-shape scan-filter-agg; filters push to the parquet scan."""
+    l = _t(spark, sf, "lineitem")
+    prod = (
+        F.col("l_extendedprice").cast(_DEC2) * F.col("l_discount").cast(_DEC4)
+    ).cast("decimal(28,6)")
+    return (
+        l.where((F.col("l_quantity") < 24) & F.col("l_discount").between(0.05, 0.07))
+        .agg(F.sum(prod).cast("double").alias("revenue"), F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "q07_priority_with_late_items",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '2000-01-01')
+    GROUP BY o_orderpriority
+    """,
+)
+def q07(spark, sf):
+    """EXISTS-style semi join + agg (TPC-H Q4 shape)."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q08_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q08(spark, sf):
+    """Per-group top-k via rank window (SURVEY W8 truncation shape);
+    unique orderkey tiebreak keeps it deterministic."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q09_event_gaps",
+    """
+    SELECT user_id, event_id,
+           COALESCE(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    - epoch_us(ts), -1) AS gap_us
+    FROM events
+    """,
+)
+def q09(spark, sf):
+    """lead() window over event times (SURVEY W4/W5 chunk-bound shape),
+    compared in exact unix micros."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.lead(us).over(w) - us, F.lit(-1)).alias("gap_us"),
+    )
+
+
+@register(
+    "q10_out_of_order_events",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN value < run_max THEN 1 ELSE 0 END) AS n_out_of_order,
+           COUNT(*) AS n_events
+    FROM (SELECT user_id, value,
+                 MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def q10(spark, sf):
+    """Running-max out-of-order detection (SURVEY W7) — the validator's
+    order check re-expressed as a frame-bounded window."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.select("user_id", "value", F.max("value").over(w).alias("run_max"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("run_max"), 1).otherwise(0)).alias("n_out_of_order"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q11_event_sessions",
+    """
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM (SELECT user_id,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 3600000000
+                      OR LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def q11(spark, sf):
+    """Gap-based sessionization (lag + conditional sum) — the batch
+    form of the streaming session-window operator."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > 3_600_000_000), 1).otherwise(0)
+    return (
+        e.select("user_id", new_s.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "q12_event_hourly",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q12(spark, sf):
+    """Tumbling-window agg via F.window (the batch twin of the
+    structured-streaming windowed agg); decimal value sums."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("hour_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q13_event_props_json",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q13(spark, sf):
+    """Semi-structured JSON prop extraction + agg (S3 lenient-reader
+    analog: schema-on-read from a string column)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# =====================================================================
+# Extraction grammar over synthesized lines (SURVEY §2.3-2.7)
+# The Spark side builds line text with seeded doc_id arithmetic and runs
+# the real native operators; the oracle constructs expected rows directly.
+# =====================================================================
+
+# shared ground-truth CTE: what a correct ToC parse must produce
+_GT = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN regexp_extract(text, '^([a-z]+ [a-z]+)', 1) = '' THEN 'fallback title'
+              ELSE regexp_extract(text, '^([a-z]+ [a-z]+)', 1) END AS title,
+         CAST(doc_id % 37 + 2 AS INTEGER) AS pa,
+         CAST(doc_id % 9 + 1 AS VARCHAR) AS s1,
+         CAST(doc_id % 4 + 1 AS VARCHAR) AS s2p,
+         CAST(doc_id % 2 + 1 AS VARCHAR) AS s3p,
+         lang
+  FROM documents
+),
+toc AS (
+  SELECT doc_id AS url, s1 AS section_id, title, pa AS page,
+         CAST(1 AS INTEGER) AS level, CAST(NULL AS VARCHAR) AS parent_id FROM d
+  UNION ALL
+  SELECT doc_id, s1 || '.' || s2p, title, pa + 1, 2, s1 FROM d WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id, s1 || '.' || s2p || '.' || s3p, title, pa + 2, 3, s1 || '.' || s2p
+  FROM d WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, chr(CAST(doc_id % 3 + 65 AS INTEGER)), title, pa + 3, 1, NULL
+  FROM d WHERE doc_id % 10 = 7
+),
+synth AS (
+  SELECT doc_id AS url, s1 || '.' || s2p AS section_id,
+         'Section ' || s1 || '.' || s2p AS title, pa + 2 AS page,
+         CAST(2 AS INTEGER) AS level, s1 AS parent_id
+  FROM d WHERE doc_id % 3 = 0
+),
+repaired AS (
+  SELECT * FROM toc UNION ALL SELECT * FROM synth
+)
+"""
+
+
+def _doc_cols(d: DataFrame):
+    """Shared synthesized-line building blocks (mirror of _GT.d)."""
+    doc = F.col("doc_id")
+    t0 = F.regexp_extract("text", r"^([a-z]+ [a-z]+)", 1)
+    title = F.when(t0 == "", F.lit("fallback title")).otherwise(t0)
+    pa = doc % 37 + 2
+    s1 = (doc % 9 + 1).cast("string")
+    s2 = F.concat(s1, F.lit("."), (doc % 4 + 1).cast("string"))
+    s3 = F.concat(s2, F.lit("."), (doc % 2 + 1).cast("string"))
+    sD = F.expr("char(CAST(doc_id % 3 + 65 AS INT))")
+    return doc, title, pa, s1, s2, s3, sD
+
+
+def _toc_lines(spark, sf) -> DataFrame:
+    """documents → (url, pos, line) synthetic ToC page lines, with
+    header/prose noise rows the parser must reject (F1 + grammar)."""
+    d = _t(spark, sf, "documents")
+    doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
+    leaders = F.expr("' ' || repeat('.', CAST(doc_id % 6 + 3 AS INT)) || ' '")
+
+    def mk(sid, page):
+        return F.concat(sid, F.lit(" "), title, leaders, page.cast("string"))
+
+    arr = F.array(
+        mk(s1, pa),
+        F.when(doc % 3 != 0, mk(s2, pa + 1)),
+        F.when(doc % 3 == 0, mk(s3, pa + 2)),
+        F.when(doc % 10 == 7, mk(sD, pa + 3)),
+        F.when(doc % 5 == 0, F.lit("Table of Contents")),
+        F.when(doc % 7 == 0, F.lit("plain prose line about spark corpora")),
+    )
+    return d.select(doc.alias("url"), F.posexplode(F.array_compact(arr)).alias("pos", "line"))
+
+
+_TOC_OUT = "SELECT url, section_id, title, page, level, parent_id, section_id || ' ' || title AS full_path"
+
+
+@register("q14_toc_parse", _GT + _TOC_OUT + " FROM toc")
+def q14(spark, sf):
+    """E1 regex ToC parse + F1 header filter + F2 min-dots + N1/N2
+    normalize — zero-shuffle codegen'd projection; oracle is the
+    independently-constructed ground truth."""
+    return tn.parse_toc_lines_native(_toc_lines(spark, sf), min_dots=0).select(
+        "url", "section_id", "title", "page", "level", "parent_id", "full_path"
+    )
+
+
+@register("q15_toc_parent_repair", _GT + _TOC_OUT + " FROM repaired")
+def q15(spark, sf):
+    """W3 hierarchy repair: explode ancestors → min(page) agg →
+    anti-join → union. Both shuffles hash on (url, section_id)."""
+    parsed = tn.parse_toc_lines_native(_toc_lines(spark, sf), min_dots=0)
+    return tn.repair_parents_native(parsed).select(
+        "url", "section_id", "title", "page", "level", "parent_id", "full_path"
+    )
+
+
+@register(
+    "q16_toc_sort_rank",
+    _GT
+    + """
+    SELECT url, section_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY url ORDER BY
+             CASE WHEN regexp_matches(section_id, '^[A-Z]') THEN 1 ELSE 0 END,
+             CASE WHEN regexp_matches(section_id, '^[A-Z]')
+                  THEN [ascii(substr(section_id, 1, 1)) - 64]
+                  ELSE list_transform(string_split(section_id, '.'), p -> CAST(p AS INTEGER)) END,
+             page) AS INTEGER) AS rn
+    FROM repaired
+    """,
+)
+def q16(spark, sf):
+    """W1/W2 appendix-aware section ordering as a rank over the padded
+    sort key (numerics before appendices, numeric-tuple order)."""
+    parsed = tn.parse_toc_lines_native(_toc_lines(spark, sf), min_dots=0)
+    repaired = tn.repair_parents_native(parsed).withColumn("sort_key", tn.section_sort_key_native())
+    w = Window.partitionBy("url").orderBy("sort_key", "page")
+    return repaired.select("url", "section_id", F.row_number().over(w).alias("rn"))
+
+
+_GT_BOUNDS = (
+    _GT
+    + """,
+bounds AS (
+  SELECT url, section_id, page AS page_start,
+         GREATEST(page, COALESCE(LEAD(page) OVER (PARTITION BY url ORDER BY page, section_id) - 1,
+                                 60)) AS page_end
+  FROM toc
+)
+"""
+)
+
+
+@register("q17_chunk_bounds", _GT_BOUNDS + "SELECT url, section_id, page_start, page_end FROM bounds")
+def q17(spark, sf):
+    """W4 chunk bounds from ToC rows: window lead() - 1, clamped."""
+    parsed = tn.parse_toc_lines_native(_toc_lines(spark, sf), min_dots=0)
+    return cn.chunk_bounds_native(parsed, last_page=60).select(
+        "url", "section_id", "page_start", "page_end"
+    )
+
+
+@register(
+    "q18_chunk_page_gather",
+    _GT_BOUNDS
+    + """
+    SELECT url, section_id,
+           CAST(LEAST(page_end, 45) - page_start + 1 AS BIGINT) AS n_pages
+    FROM bounds
+    """,
+)
+def q18(spark, sf):
+    """W6 range gather as a real non-equi join (url equality + page
+    BETWEEN residual): overlapping chunks re-use pages; oracle computes
+    the interval size in closed form."""
+    d = _t(spark, sf, "documents")
+    parsed = tn.parse_toc_lines_native(_toc_lines(spark, sf), min_dots=0)
+    bounds = cn.chunk_bounds_native(parsed, last_page=60)
+    pages = d.select(
+        F.col("doc_id").alias("url"),
+        F.explode(F.sequence(F.lit(1), F.lit(45))).alias("page_no"),
+    ).withColumn("line", F.lit("x"))
+    return (
+        cn.gather_chunk_pages_native(pages, bounds)
+        .groupBy("url", "section_id")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+@register(
+    "q19_heading_extract",
+    _GT
+    + """
+    SELECT doc_id AS url, s1 AS section_id, title FROM d
+    UNION ALL
+    SELECT doc_id, chr(CAST(doc_id % 3 + 65 AS INTEGER)), title FROM d WHERE doc_id % 10 = 7
+    """,
+)
+def q19(spark, sf):
+    """E2/E3 heading detection + F4/F5 noise rejection, fully native;
+    noise lines (Page N, digit-heavy, short titles) must be dropped."""
+    d = _t(spark, sf, "documents")
+    doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
+    arr = F.array(
+        F.concat(s1, F.lit(" "), title),
+        F.when(doc % 10 == 7, F.concat(sD, F.lit(" "), title)),
+        F.when(doc % 4 == 0, F.lit("Page 12")),
+        F.when(doc % 6 == 0, F.lit("7 4711")),
+        F.when(doc % 9 == 0, F.lit("3 ab")),
+    )
+    lines = d.select(doc.alias("url"), F.explode(F.array_compact(arr)).alias("line"))
+    return cn.extract_headings_native(lines).select("url", "section_id", "title")
+
+
+@register(
+    "q20_caption_lists",
+    _GT
+    + """
+    SELECT doc_id AS url,
+           s1 || '.1,' || s1 || '.1' AS figures_csv,
+           CASE WHEN doc_id % 2 = 0 THEN s1 || '.2,7.7' ELSE s1 || '.2' END AS tables_csv
+    FROM d
+    """,
+)
+def q20(spark, sf):
+    """E4 ordered duplicate-preserving caption lists (pos-sorted
+    collect_list, never collect_set) incl. de-spaced 'T a b l e'
+    repair (N3) — figure tested before table per line."""
+    d = _t(spark, sf, "documents")
+    doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
+    # caption lines use fixed prose (a lowercase title word after the
+    # keyword would itself match the reference's case-insensitive id
+    # grammar — a faithful quirk, but not what this query tests)
+    arr = F.array(
+        F.concat(F.lit("Figure "), s1, F.lit(".1 spec overview")),
+        F.lit("plain prose narrative line"),
+        F.concat(F.lit("Table "), s1, F.lit(".2 parameter summary")),
+        F.concat(F.lit("Figure "), s1, F.lit(".1 spec overview")),
+        F.when(doc % 2 == 0, F.lit("T a b l e 7.7 thermal budget")),
+    )
+    lines = d.select(doc.alias("url"), F.posexplode(F.array_compact(arr)).alias("pos", "line"))
+    caps = cn.caption_lists_native(lines)
+    return caps.select(
+        "url",
+        F.array_join("figures", ",").alias("figures_csv"),
+        F.array_join("tables", ",").alias("tables_csv"),
+    )
+
+
+@register(
+    "q21_validation_counts",
+    _GT
+    + """,
+chunks AS (
+  SELECT * FROM toc WHERE NOT (level = 2 AND url % 5 = 0)
+  UNION ALL
+  SELECT doc_id, '99', 'extra', CAST(1 AS INTEGER), CAST(1 AS INTEGER), NULL
+  FROM d WHERE doc_id % 4 = 0
+)
+SELECT COALESCE(t.url, c.url) AS url,
+       SUM(CASE WHEN t.section_id IS NOT NULL AND c.section_id IS NOT NULL THEN 1 ELSE 0 END) AS matched,
+       SUM(CASE WHEN c.section_id IS NULL THEN 1 ELSE 0 END) AS missing,
+       SUM(CASE WHEN t.section_id IS NULL THEN 1 ELSE 0 END) AS extra
+FROM toc t FULL OUTER JOIN chunks c
+  ON t.url = c.url AND t.section_id = c.section_id
+GROUP BY 1
+""",
+)
+def q21(spark, sf):
+    """J2/J4/J5 validation matching as one full-outer join + conditional
+    agg: matched / missing-in-chunks / extra-in-chunks per document."""
+    d = _t(spark, sf, "documents")
+    doc = F.col("doc_id")
+    toc = tn.parse_toc_lines_native(_toc_lines(spark, sf), min_dots=0)
+    extras = d.where(doc % 4 == 0).select(
+        doc.alias("url"),
+        F.lit("99").alias("section_id"),
+        F.lit("extra").alias("title"),
+        F.lit(1).alias("page"),
+        F.lit(1).alias("level"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit("99 extra").alias("full_path"),
+    )
+    chunks = toc.where(~((F.col("level") == 2) & (F.col("url") % 5 == 0))).unionByName(extras)
+    t = toc.select("url", "section_id").alias("t")
+    c = chunks.select("url", "section_id").alias("c")
+    j = t.join(
+        c,
+        on=[F.col("t.url") == F.col("c.url"), F.col("t.section_id") == F.col("c.section_id")],
+        how="full_outer",
+    )
+    both = F.col("t.section_id").isNotNull() & F.col("c.section_id").isNotNull()
+    return j.groupBy(F.coalesce(F.col("t.url"), F.col("c.url")).alias("url")).agg(
+        F.sum(F.when(both, 1).otherwise(0)).alias("matched"),
+        F.sum(F.when(F.col("c.section_id").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(F.col("t.section_id").isNull(), 1).otherwise(0)).alias("extra"),
+    )
+
+
+@register(
+    "q22_maxima_total",
+    """
+    SELECT lang, CAST(SUM(mx) AS BIGINT) AS range_total
+    FROM (SELECT lang, doc_id % 9 + 1 AS chapter, MAX(CAST(doc_id % 29 + 1 AS INTEGER)) AS mx
+          FROM documents GROUP BY 1, 2)
+    GROUP BY lang
+    """,
+)
+def q22(spark, sf):
+    """A1 maxima_total: two-level hash agg — per chapter-prefix max of
+    the id's trailing integer, then sum (orchestrate.py:137-146)."""
+    d = _t(spark, sf, "documents")
+    doc, *_ = _doc_cols(d)
+    idc = F.concat((doc % 9 + 1).cast("string"), F.lit("."), (doc % 29 + 1).cast("string"))
+    ids = d.select("lang", idc.alias("id"))
+    parts = F.split("id", r"\.")
+    return (
+        ids.select("lang", parts.getItem(0).alias("chapter"), F.element_at(parts, -1).cast("int").alias("tail"))
+        .groupBy("lang", "chapter")
+        .agg(F.max("tail").alias("mx"))
+        .groupBy("lang")
+        .agg(F.sum("mx").alias("range_total"))
+    )
+
+
+@register(
+    "q23_doc_metrics_rollup",
+    """
+    SELECT lang, COUNT(*) AS docs,
+           CAST(ROUND(AVG(words) / 1.3, 0) AS INTEGER) AS avg_tokens_per_doc,
+           CAST(SUM(words) AS BIGINT) AS total_words
+    FROM (SELECT lang,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS words
+          FROM documents)
+    GROUP BY lang
+    """,
+)
+def q23(spark, sf):
+    """A3/A9 corpus metrics: avg words per doc ÷ 1.3 token estimate
+    (metrics.pyc _approx_tokens_from_words), int sums only."""
+    d = _t(spark, sf, "documents")
+    words = tm.token_count(F.col("text"))
+    return (
+        d.select("lang", words.alias("words"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("words") / 1.3, 0).cast("int").alias("avg_tokens_per_doc"),
+            F.sum("words").alias("total_words"),
+        )
+    )
+
+
+@register(
+    "q24_normalize_scalars",
+    """
+    SELECT doc_id,
+           'file name - test ' || regexp_extract(text, '^([a-z]+)', 1) AS n1,
+           'Table ' || CAST(doc_id % 9 + 1 AS VARCHAR) || '.4 x' AS n3,
+           CAST(doc_id % 9 + 1 AS VARCHAR) || '-7' AS n8
+    FROM documents
+    """,
+)
+def q24(spark, sf):
+    """N1/N2/N3/N8 scalar normalizers on adversarial inputs (ligature,
+    NBSP, em-dash, dot leaders, de-spaced caption, unicode hyphen) —
+    oracle states the expected cleaned literals."""
+    d = _t(spark, sf, "documents")
+    doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
+    w1 = F.regexp_extract("text", r"^([a-z]+)", 1)
+    n1_in = F.concat(F.lit("ﬁle name — test ..... "), w1)
+    n1 = normalize_text_native(strip_dot_leaders_native(n1_in))
+    n3 = cn.norm_caption_line_native(F.concat(F.lit("T a b l e "), s1, F.lit(".4 x")))
+    # N8 norm_id (validate.py:77-83): NBSP removed outright, unicode
+    # hyphen folded to "-", strip
+    n8_in = F.concat(F.lit("\u00a0"), s1, F.lit("\u2011" "7"))
+    n8 = F.regexp_replace(n8_in, "[\u00a0\u202f]", "")
+    n8 = F.trim(F.translate(n8, "\u2010\u2011\u2012\u2013\u2014\u2212", "------"))
+    return d.select("doc_id", n1.alias("n1"), n3.alias("n3"), n8.alias("n8"))
+
+
+# =====================================================================
+# Training-data tier: dedup / similarity / text analysis
+# =====================================================================
+
+
+@register(
+    "q25_exact_duplicates",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q25(spark, sf):
+    """Exact dedup via normalized-text fingerprint hash-groupBy (one
+    shuffle, map-side partial agg)."""
+    d = _t(spark, sf, "documents")
+    return dedup.exact_duplicates(d, text_col="text", key_col="doc_id")
+
+
+@register(
+    "q26_blocked_jaccard_pairs",
+    """
+    WITH w AS (
+      SELECT lang, n_chars, doc_id, w FROM (
+        SELECT lang, n_chars, doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM w a JOIN w b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(ni AS DOUBLE) / (ca.nw + cb.nw - ni), 6) AS jaccard
+    FROM inter JOIN counts ca ON ca.doc_id = id_a
+               JOIN counts cb ON cb.doc_id = id_b
+    WHERE CAST(ni AS DOUBLE) / (ca.nw + cb.nw - ni) >= 0.5
+    """,
+)
+def q26(spark, sf):
+    """Blocked n-gram Jaccard near-dup: equality blocking on
+    (lang, n_chars) keeps the pair space sub-quadratic; distinct-word
+    Jaccard verifies. Fully SQL-oracle-able."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.blocked_jaccard_pairs(
+        d, block_cols=("lang", "n_chars"), text_col="text", key_col="doc_id", threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# marker-hit SQL fragments for the language heuristic (must mirror
+# functions/text_metrics.py LANG_MARKERS + the length-delta trick)
+def _sql_occurrences(expr: str, needle: str) -> str:
+    n = len(needle)
+    return f"CAST((length({expr}) - length(replace({expr}, '{needle}', ''))) / {n} AS INTEGER)"
+
+
+def _sql_marker_hits(lang: str) -> str:
+    terms = [_sql_occurrences("pad", f" {w} ") for w in tm.LANG_MARKERS[lang]]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SQL_STOP_HITS = "(" + " + ".join(
+    _sql_occurrences("pad", f" {w} ") for w in ("the", "and", "of", "a", "to")
+) + ")"
+
+_Q27_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         ' ' || lower(text) || ' ' AS pad,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tokens,
+         length(text) AS n_total,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, tokens,
+         len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> '')) + n_punct AS tokens_bpe,
+         CASE WHEN n_total = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_total END AS punct_ratio_raw,
+         CASE WHEN trim(text) = '' THEN 0.0
+              ELSE CAST(n_nonspace AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) END AS mwl_raw,
+         CASE WHEN tokens = 0 THEN 0.0
+              ELSE CAST({_SQL_STOP_HITS} AS DOUBLE) / tokens END AS stop_raw,
+         {_sql_marker_hits('en')} AS h_en,
+         {_sql_marker_hits('es')} AS h_es,
+         {_sql_marker_hits('de')} AS h_de,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM base
+)
+SELECT doc_id, tokens, tokens_bpe,
+       ROUND(punct_ratio_raw, 6) AS punct_ratio,
+       ROUND(mwl_raw, 6) AS mean_word_len,
+       ROUND(stop_raw, 6) AS stopword_ratio,
+       ROUND(((CASE WHEN tokens >= 5 AND tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN punct_ratio_raw < 0.3 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN stop_raw > 0.01 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+       CASE WHEN greatest(h_en, h_es, h_de) > 0 AND h_en = greatest(h_en, h_es, h_de) THEN 'en'
+            WHEN greatest(h_en, h_es, h_de) > 0 AND h_es = greatest(h_en, h_es, h_de) THEN 'es'
+            WHEN greatest(h_en, h_es, h_de) > 0 AND h_de = greatest(h_en, h_es, h_de) THEN 'de'
+            ELSE 'und' END AS lang_guess,
+       fingerprint
+FROM feats
+"""
+
+
+@register("q27_text_features", _Q27_ORACLE)
+def q27(spark, sf):
+    """Per-doc text-quality features: whitespace + BPE-ish token counts,
+    punct/stopword ratios, composite quality, marker-word language ID,
+    md5 fingerprint — all native exprs (one codegen'd projection)."""
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        tm.token_count(c).alias("tokens"),
+        tm.bpe_ish_token_count(c).alias("tokens_bpe"),
+        F.round(tm.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(tm.mean_word_length(c), 6).alias("mean_word_len"),
+        F.round(tm.stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(tm.quality_score(c), 6).alias("quality"),
+        tm.language_guess(c).alias("lang_guess"),
+        tm.fingerprint(c).alias("fingerprint"),
+    )
+
+
+@register(
+    "q28_quality_summary",
+    f"""
+    WITH base AS (
+      SELECT lang, text, ' ' || lower(text) || ' ' AS pad,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tokens,
+             length(text) AS n_total,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    feats AS (
+      SELECT lang, tokens, fp,
+             CASE WHEN n_total = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_total END AS pr,
+             CASE WHEN tokens = 0 THEN 0.0
+                  ELSE CAST({_SQL_STOP_HITS} AS DOUBLE) / tokens END AS sr
+      FROM base
+    )
+    SELECT lang, COUNT(*) AS docs,
+           ROUND(AVG(tokens), 4) AS avg_tokens,
+           ROUND(AVG(((CASE WHEN tokens >= 5 AND tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)) / 3.0), 4) AS avg_quality,
+           ROUND(AVG(pr), 4) AS avg_punct_ratio,
+           COUNT(DISTINCT fp) AS distinct_texts
+    FROM feats
+    GROUP BY lang
+    """,
+)
+def q28(spark, sf):
+    """Per-language quality rollup (single hash agg over the feature
+    projection)."""
+    d = _t(spark, sf, "documents")
+    return ta.quality_summary(d, text_col="text", by="lang")
+
+
+@register(
+    "q29_word_topk",
+    """
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY 1
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+)
+def q29(spark, sf):
+    """Corpus word frequency top-k: explode → count → ordered limit
+    (TakeOrderedAndProject, no full sort)."""
+    d = _t(spark, sf, "documents")
+    w = F.explode(tm.word_array(F.col("text"))).alias("word")
+    return (
+        d.select(w)
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+# deterministic rational query vector shared by Spark and the oracle
+_QVEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_SQL_QVEC = "list_transform(generate_series(0, 63), i -> ((i * 37) % 19 - 9) / 10.0)"
+
+
+@register(
+    "q30_cosine_topk",
+    f"""
+    WITH q AS (SELECT {_SQL_QVEC} AS qv),
+    scored AS (
+      SELECT vec_id,
+             list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                          list_transform(embedding, x -> CAST(x AS DOUBLE))))) AS cos_raw
+      FROM embeddings, q
+    )
+    SELECT vec_id, ROUND(cos_raw, 4) + 0.0 AS cosine
+    FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10
+    """,
+)
+def q30(spark, sf):
+    """Brute-force cosine top-k vs a constant query vector — the exact
+    ANN baseline (per-partition heap, no shuffle of the losers)."""
+    e = _t(spark, sf, "embeddings")
+    return sim.cosine_topk(e, _QVEC, k=10, key_col="vec_id", vec_col="embedding").select(
+        "vec_id", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine")
+    )
+
+
+@register(
+    "q31_centroids",
+    """
+    SELECT label, CAST(p - 1 AS INTEGER) AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 4) + 0.0 AS mean_val
+    FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS p
+          FROM embeddings)
+    GROUP BY label, p
+    """,
+)
+def q31(spark, sf):
+    """Per-label centroid via positional explode + avg (k-means-style
+    update step as a native agg)."""
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg((F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias("mean_val"))
+    )
+
+
+@register(
+    "q32_embedding_near_dups",
+    """
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+    """,
+)
+def q32(spark, sf):
+    """Embedding-cosine near-dup within label buckets (blocked pairwise
+    — the equality-block form of embedding dedup)."""
+    e = _t(spark, sf, "embeddings")
+    pairs = dedup.embedding_near_dups(
+        e, key_col="vec_id", vec_col="embedding", bucket_col="label", threshold=0.3
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# --- rows-only checks (hash functions DuckDB lacks; driver records a
+# weaker row-count check, noted in the registry) -----------------------
+
+
+@register("q33_minhash_lsh_pairs")
+def q33(spark, sf):
+    """MinHash+LSH near-dup candidates verified by exact Jaccard
+    (shingle → k-seed minhash → banded join → verify). xxhash64-based,
+    so no SQL oracle — rows-only check."""
+    d = _t(spark, sf, "documents")
+    sh = dedup.shingles(d, text_col="text", key_col="doc_id", n=3)
+    sigs = dedup.minhash_signatures(sh, key_col="doc_id", num_hashes=32)
+    cands = dedup.lsh_candidate_pairs(sigs, key_col="doc_id", bands=8)
+    return dedup.verified_near_dups(
+        d, cands, text_col="text", key_col="doc_id", threshold=0.7, shingle_n=3
+    )
+
+
+@register("q34_simhash_near_dups")
+def q34(spark, sf):
+    """SimHash band-blocked Hamming-ball near-dups (bit ops + popcount,
+    xxhash64-based → rows-only check)."""
+    d = _t(spark, sf, "documents")
+    s = dedup.simhash(d, text_col="text", key_col="doc_id", bits=32)
+    pairs = dedup.simhash_near_dups(s, key_col="doc_id", max_hamming=6, bits=32, bands=4)
+    # word-soup corpora are heavily near-duplicate: return the compact
+    # per-distance histogram, not the (quadratic-ish) pair list
+    return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs")).orderBy("hamming")
+
+
+@register("q35_ann_topk")
+def q35(spark, sf):
+    """Random-hyperplane LSH-bucketed approximate top-k (probes only
+    the query's bucket; xxhash64 planes → rows-only check)."""
+    e = _t(spark, sf, "embeddings")
+    return sim.ann_topk(e, _QVEC, k=10, bits=4, seed=7, key_col="vec_id", vec_col="embedding")
