@@ -1,0 +1,117 @@
+"""Resumable distributed extraction job (spark-submit entry point).
+
+    spark-submit --py-files pdf_parser_spark.zip jobs/extract.py \
+        --input  /data/documents.parquet \
+        --outdir /data/out \
+        [--resume] [--partitions 2048] [--cpus 32]
+
+Pipeline (SURVEY §3 lifecycle → north_rule operational contract):
+
+  documents(url, warc_ts, html, text, lang)
+    → anti-join already-extracted urls        (resume checkpoint)
+    → salted repartition xxhash64(url, salt)  (host/mega-doc skew)
+    → mapInPandas per-document extraction     (zero further shuffles)
+    → append to <outdir>/extracted            (the checkpoint itself)
+    → flat side tables: toc/ chunks/ validation/ doc_metrics/
+    → lineage/ per-partition throughput + parse-failure accounting
+
+Checkpoint/resume semantics: the extracted table IS the checkpoint —
+every completed write lands a consistent batch of whole documents, and
+`--resume` anti-joins its url set so a restarted job only processes
+the remainder. On Iceberg this maps 1:1 to snapshot-based restart
+(`overwritePartitions` + the same anti-join against the last
+snapshot); parquet append is the sandbox stand-in with identical
+dataflow. Idempotent per url either way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdf_parser_spark.operators import extract as ox  # noqa: E402
+from pdf_parser_spark.plans.session import get_spark  # noqa: E402
+from pdf_parser_spark.sources.corpus import read_documents  # noqa: E402
+
+
+def run(
+    input_path: str,
+    outdir: str,
+    resume: bool = False,
+    partitions: int | None = None,
+    cpus: int | None = None,
+    spark=None,
+) -> dict:
+    spark = spark or get_spark(app_name="extract-job", cpus=cpus)
+    out = Path(outdir)
+    extracted_path = str(out / "extracted")
+
+    docs = read_documents(spark, input_path)
+    n_input = docs.count()
+
+    n_already = 0
+    if resume:
+        try:
+            done = spark.read.parquet(extracted_path).select("url").distinct()
+            n_already = done.count()
+            # broadcast when the processed set is small; Catalyst/AQE
+            # picks SMJ automatically once it grows past the threshold
+            docs = docs.join(done, on="url", how="left_anti")
+        except Exception:
+            pass  # nothing extracted yet → full run
+
+    todo = ox.salted_repartition(docs, partitions)
+    extracted = ox.extract_documents(todo)
+    t0 = time.perf_counter()
+    extracted.write.mode("append").parquet(extracted_path)
+    wall = time.perf_counter() - t0
+
+    # side tables re-read the just-written batch so every stage is
+    # restartable from disk (no recompute of the UDF pass)
+    all_extracted = spark.read.parquet(extracted_path)
+    ox.toc_table(all_extracted).write.mode("overwrite").parquet(str(out / "toc"))
+    ox.chunks_table(all_extracted).write.mode("overwrite").parquet(str(out / "chunks"))
+    ox.validation_table(all_extracted).write.mode("overwrite").parquet(str(out / "validation"))
+    ox.metrics_table(all_extracted).write.mode("overwrite").parquet(str(out / "doc_metrics"))
+    lineage = ox.lineage_metrics(all_extracted)
+    lineage.write.mode("overwrite").parquet(str(out / "lineage"))
+
+    status_counts = {
+        r["status"]: r["n"]
+        for r in all_extracted.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = all_extracted.count()
+    n_new = n_total - n_already
+    summary = {
+        "input_docs": n_input,
+        "already_extracted": n_already,
+        "newly_extracted": n_new,
+        "total_extracted": n_total,
+        "wall_sec_extract": round(wall, 2),
+        "docs_per_sec": round(n_new / wall, 2) if wall > 0 else None,
+        "status_counts": status_counts,
+    }
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+    summary = run(args.input, args.outdir, args.resume, args.partitions, args.cpus)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,34 @@ def synthetic_documents(
     return df.repartition(partitions) if partitions else df
 
 
+def synthetic_documents_distributed(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int = 64
+) -> DataFrame:
+    """Corpus generation on the executors (bench/scale path).
+
+    Driver-side generation is O(n) single-threaded Python; for scaling
+    runs the generator itself must parallelize, so each partition
+    synthesizes its own id range via mapInPandas (doc content depends
+    only on (doc_id, seed) — identical rows to synthetic_documents).
+    """
+    import pandas as pd
+
+    mega_every = 40
+
+    def gen(batches):
+        from .synth import make_document
+
+        for batch in batches:
+            rows = [
+                make_document(int(i), seed=seed, mega=(i > 0 and i % mega_every == 0))
+                for i in batch["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    ids = spark.range(0, n_docs).repartition(partitions)
+    return ids.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+
+
 def write_documents(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 

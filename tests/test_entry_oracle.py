@@ -1,0 +1,78 @@
+"""Driver-contract self-check: queries() vs oracle_sql() via DuckDB.
+
+Runs the same comparison the round driver performs (row count, sorted
+column names, order-insensitive value multiset) for a representative
+subset at sf0.001 — full 35-query sweep lives in tools/check_oracle.py
+(kept out of the default pytest run for time).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.check_oracle import compare_one, connect_oracle  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q09_event_gaps",
+    "q14_toc_parse",
+    "q15_toc_parent_repair",
+    "q17_chunk_bounds",
+    "q18_chunk_page_gather",
+    "q19_heading_extract",
+    "q20_caption_lists",
+    "q21_validation_counts",
+    "q26_blocked_jaccard_pairs",
+    "q27_text_features",
+    "q30_cosine_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def contract():
+    from __spark_entry__ import oracle_sql, queries
+
+    return queries(), oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    return connect_oracle(SF)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, con, contract, name):
+    qs, os_ = contract
+    status, detail = compare_one(spark, con, name, qs[name], os_.get(name), SF)
+    assert status == "ok", f"{name}: {detail}"
+
+
+def test_entry_smoke(spark):
+    from __spark_entry__ import entry
+
+    df = entry(spark)
+    assert df.count() > 0
+    assert df.columns == [
+        "url", "section_id", "title", "page", "level", "parent_id", "full_path",
+    ]
+
+
+def test_every_query_has_docstringed_callable(contract):
+    qs, os_ = contract
+    assert len(qs) >= 35
+    # every oracle key must have a matching query
+    assert set(os_) <= set(qs)
+    # the xxhash64-based ops are the only rows-only entries
+    assert set(qs) - set(os_) == {
+        "q33_minhash_lsh_pairs",
+        "q34_simhash_near_dups",
+        "q35_ann_topk",
+    }

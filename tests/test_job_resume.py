@@ -1,0 +1,54 @@
+"""jobs/extract.py checkpoint/resume semantics (north_rule)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from jobs.extract import run as run_job
+from pdf_parser_spark.sources.corpus import synthetic_documents, write_documents
+
+
+def test_resume_skips_already_extracted(spark, tmp_path):
+    corpus = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "out")
+    write_documents(synthetic_documents(spark, 24, seed=42), corpus)
+
+    first = run_job(corpus, out, resume=False, spark=spark)
+    assert first["newly_extracted"] == 24
+    assert first["total_extracted"] == 24
+    # reference-faithful per-doc failure accounting reaches the summary
+    assert sum(first["status_counts"].values()) == 24
+
+    second = run_job(corpus, out, resume=True, spark=spark)
+    assert second["already_extracted"] == 24
+    assert second["newly_extracted"] == 0
+    assert second["total_extracted"] == 24
+
+    # side tables exist and line up with the extracted batch
+    toc = spark.read.parquet(str(Path(out) / "toc"))
+    lineage = spark.read.parquet(str(Path(out) / "lineage"))
+    assert toc.count() > 0
+    rolled = lineage.agg({"docs": "sum"}).collect()[0][0]
+    assert rolled == 24
+
+
+def test_resume_extracts_only_remainder(spark, tmp_path):
+    corpus_half = str(tmp_path / "docs_half.parquet")
+    corpus_full = str(tmp_path / "docs_full.parquet")
+    out = str(tmp_path / "out2")
+    full = synthetic_documents(spark, 20, seed=42)
+    write_documents(full.limit(10), corpus_half)
+    write_documents(full, corpus_full)
+
+    run_job(corpus_half, out, resume=False, spark=spark)
+    second = run_job(corpus_full, out, resume=True, spark=spark)
+    assert second["already_extracted"] == 10
+    assert second["newly_extracted"] == 10
+    assert second["total_extracted"] == 20
+    # idempotent per url: no duplicates after the resumed append
+    ex = spark.read.parquet(str(Path(out) / "extracted"))
+    assert ex.select("url").distinct().count() == 20
+    assert ex.count() == 20

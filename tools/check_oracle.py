@@ -3,8 +3,8 @@
 Runs every __spark_entry__.queries() entry at a given sf dir and
 compares it with the matching oracle_sql() via DuckDB:
 row count, sorted column names, and an order-insensitive multiset of
-rows (columns sorted by name, floats kept exact). Prints one line per
-query plus mismatch diagnostics.
+rows (columns sorted by name, floats canonicalized). Importable:
+tests/test_entry_oracle.py reuses compare_one().
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -19,80 +19,82 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from __spark_entry__ import oracle_sql, queries  # noqa: E402
-from pdf_parser_spark.plans.session import get_spark  # noqa: E402
-
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
 
+def connect_oracle(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                v = float(f"{v:.10g}")
+                v = float(f"{v:.10g}") + 0.0
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=repr)
 
 
+def compare_one(spark, con, name: str, spark_fn, oracle: str | None, sf_dir: str):
+    """Returns (status, detail): status in {'ok','rows','fail'}."""
+    sdf = spark_fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if oracle is None:
+        return "rows", f"{len(srows)} rows (rows-only)"
+    rel = con.sql(oracle)
+    ocols = list(rel.columns)
+    orows = rel.fetchall()
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+        problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+    if not problems:
+        cs, co = canon(srows, scols), canon(orows, ocols)
+        if cs != co:
+            diffs = [(a, b) for a, b in zip(cs, co) if a != b]
+            problems.append(
+                f"values differ: {len(diffs)} rows, first: {diffs[0] if diffs else (cs[-1], co[-1])}"
+            )
+    if problems:
+        return "fail", "; ".join(problems)
+    return "ok", f"{len(srows)} rows"
+
+
 def main():
+    from __spark_entry__ import oracle_sql, queries
+    from pdf_parser_spark.plans.session import get_spark
+
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-
+    con = connect_oracle(sf)
     qs, os_ = queries(), oracle_sql()
-    n_pass = n_fail = n_rowsonly = 0
+    counts = {"ok": 0, "rows": 0, "fail": 0}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            status, detail = compare_one(spark, con, name, fn, os_.get(name), sf)
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
-            n_fail += 1
-            continue
-        if name not in os_:
-            print(f"rows  {name}: {len(srows)} rows (rows-only) [{time.time()-t0:.1f}s]")
-            n_rowsonly += 1
-            continue
-        try:
-            rel = con.sql(os_[name])
-            ocols = [c for c in rel.columns]
-            orows = rel.fetchall()
-        except Exception as e:
-            print(f"FAIL  {name}: oracle error: {e}")
-            n_fail += 1
-            continue
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if not problems:
-            cs, co = canon(srows, scols), canon(orows, ocols)
-            if cs != co:
-                diffs = [(a, b) for a, b in zip(cs, co) if a != b]
-                problems.append(f"values differ: {len(diffs)} rows, first: {diffs[0] if diffs else (cs[-1], co[-1])}")
-        if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
-            n_fail += 1
-        else:
-            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
-            n_pass += 1
-    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+            status, detail = "fail", f"error: {e}"
+        counts[status] += 1
+        label = {"ok": "ok   ", "rows": "rows ", "fail": "FAIL "}[status]
+        print(f"{label} {name}: {detail} [{time.time()-t0:.1f}s]")
+    print(f"\n{counts['ok']} ok, {counts['rows']} rows-only, {counts['fail']} fail")
+    sys.exit(1 if counts["fail"] else 0)
 
 
 if __name__ == "__main__":
