@@ -1083,3 +1083,57 @@ def q35(spark, sf):
     the query's bucket; xxhash64 planes → rows-only check)."""
     e = _t(spark, sf, "embeddings")
     return sim.ann_topk(e, _QVEC, k=10, bits=4, seed=7, key_col="vec_id", vec_col="embedding")
+
+
+# =====================================================================
+# §2.10 documented-but-absent capabilities: toc-graph + KG triples
+# =====================================================================
+
+from ..operators import graph as gr  # noqa: E402
+
+
+@register(
+    "q36_toc_graph_edges",
+    _GT
+    + """
+    SELECT url, section_id AS child, parent_id AS parent, title, page FROM toc
+    """,
+)
+def q36(spark, sf):
+    """ToC → graph edge list (child→parent; roots NULL) — the
+    `toc-graph` CLI capability as a pure projection."""
+    parsed = tn.parse_toc_lines_native(_toc_lines(spark, sf), min_dots=0)
+    return gr.toc_graph_edges(parsed)
+
+
+@register(
+    "q37_kg_triples",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN regexp_extract(text, '^([a-z]+)', 1) = '' THEN 'node'
+                  ELSE regexp_extract(text, '^([a-z]+)', 1) END AS w1,
+             CASE WHEN regexp_extract(text, '^[a-z]+ ([a-z]+)', 1) = '' THEN 'leaf'
+                  ELSE regexp_extract(text, '^[a-z]+ ([a-z]+)', 1) END AS w2
+      FROM documents
+    )
+    SELECT doc_id AS url, w1 AS subj, 'supports' AS pred, w2 AS obj FROM d
+    UNION ALL
+    SELECT doc_id, w1, 'uses', 'spark' FROM d
+    """,
+)
+def q37(spark, sf):
+    """`kg` capability: sentence split → SVO triple extraction over a
+    fixed relation lexicon; non-relational sentences drop out."""
+    d = _t(spark, sf, "documents")
+    w1r = F.regexp_extract("text", r"^([a-z]+)", 1)
+    w2r = F.regexp_extract("text", r"^[a-z]+ ([a-z]+)", 1)
+    w1 = F.when(w1r == "", F.lit("node")).otherwise(w1r)
+    w2 = F.when(w2r == "", F.lit("leaf")).otherwise(w2r)
+    synth_text = F.concat(
+        w1, F.lit(" supports "), w2, F.lit(". "),
+        w1, F.lit(" uses spark. plain trailing sentence here"),
+    )
+    docs = d.select(F.col("doc_id").alias("url"), synth_text.alias("text"))
+    sents = gr.sentences_from_text(docs)
+    return gr.extract_triples(sents)

@@ -1,0 +1,138 @@
+"""Report sinks (SURVEY §2.2 K1-K6) — Spark-first re-expression.
+
+Distributed sinks write JSONL/parquet from executors; report-shaped
+outputs (validation summary, corpus metrics, final QA report,
+spreadsheet) aggregate distributively and only the final small result
+lands driver-side, exactly like the reference's report stage runs
+after its pipelines (orchestrate.py:395-422).
+
+  write_jsonl            K1/K2: distributed JSONL sink (df.write.json)
+  validation_summary     K3: corpus-rollup of per-url ValidationReports
+  corpus_metrics         K4: compute_metrics-shaped corpus aggregate
+  final_report           K6 + A5-A7: summary %, discrepancy samples,
+                         rule-based recommendations
+  write_report_json      driver-side json.dump of a 1-row aggregate
+  write_spreadsheet      K5: multi-sheet report; openpyxl is absent in
+                         this container so the fallback writes one CSV
+                         per sheet (same data, same layout contract)
+
+Reference anchors: validate.py:398-423 (write_report),
+final_report.py:84-167 (write/_compute_summary/_collect_discrepancies/
+_generate_recommendations), orchestrate.py:195-234 (ExcelWriter).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1/K2: JSONL sink, one object per line, distributed writers."""
+    df.write.mode(mode).json(path)
+
+
+def validation_summary(validation: DataFrame) -> DataFrame:
+    """K3/A4: corpus rollup of per-url validation reports — counts of
+    matched/missing/extra/out-of-order plus match percentage."""
+    agg = validation.agg(
+        F.count("*").alias("docs"),
+        F.sum("toc_section_count").alias("toc_sections"),
+        F.sum("parsed_section_count").alias("parsed_sections"),
+        F.sum(F.size("matched_sections")).alias("matched"),
+        F.sum(F.size("missing_sections")).alias("missing"),
+        F.sum(F.size("extra_sections")).alias("extra"),
+        F.sum(F.size("out_of_order_sections")).alias("out_of_order"),
+    )
+    total = F.col("matched") + F.col("missing")
+    pct = F.when(total > 0, F.round(F.col("matched") / total * 100, 1)).otherwise(F.lit(100.0))
+    return agg.withColumn("match_pct", pct)
+
+
+def corpus_metrics(metrics: DataFrame) -> DataFrame:
+    """K4/A3: corpus-level compute_metrics rollup."""
+    return metrics.agg(
+        F.count("*").alias("docs"),
+        F.sum("total_chapters").alias("total_chapters"),
+        F.sum("total_sections").alias("total_sections"),
+        F.sum("total_figures").alias("total_figures"),
+        F.sum("total_tables").alias("total_tables"),
+        F.round(F.avg("avg_tokens_per_section"), 1).alias("avg_tokens_per_section"),
+    )
+
+
+def final_report(validation: DataFrame, metrics: DataFrame, sample: int = 50) -> dict:
+    """K6 + A5-A7: the reference's final QA report as one dict.
+
+    Discrepancy lists are truncated server-side with slice() (W8)
+    before the single collect — nothing unbounded reaches the driver.
+    """
+    vs = validation_summary(validation).collect()[0].asDict()
+    ms = corpus_metrics(metrics).collect()[0].asDict()
+
+    missing_sample = (
+        validation.select(F.explode("missing_sections").alias("s"))
+        .orderBy("s")
+        .limit(sample)
+        .agg(F.collect_list("s").alias("xs"))
+        .collect()[0]["xs"]
+    )
+
+    recommendations = []
+    if vs["missing"] and vs["missing"] > 0:
+        recommendations.append(
+            "Missing sections detected - check ToC page filters and heading gating."
+        )
+    if vs["extra"] and vs["extra"] > 0:
+        recommendations.append(
+            "Extra chunks not promised by the ToC - review heading noise filters."
+        )
+    if (ms["total_figures"] or 0) + (ms["total_tables"] or 0) == 0:
+        recommendations.append("No figures/tables extracted - verify caption normalizers.")
+    avg_tokens = ms["avg_tokens_per_section"] or 0
+    if 0 < avg_tokens < 300:
+        recommendations.append("Sections are short (<300 tokens avg) - chunks may be fragmented.")
+    if avg_tokens > 9000:
+        recommendations.append("Sections are very long (>9000 tokens avg) - consider splitting.")
+
+    return {
+        "summary": {
+            **{k: vs[k] for k in ("docs", "matched", "missing", "extra", "out_of_order")},
+            "match_pct": vs["match_pct"],
+        },
+        "metrics": ms,
+        "missing_sections_sample": missing_sample,
+        "recommendations": recommendations,
+    }
+
+
+def write_report_json(report: dict, path: str) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(json.dumps(report, indent=2, ensure_ascii=False))
+
+
+def write_spreadsheet(sheets: dict[str, DataFrame], target: str, max_rows: int = 10000) -> list[str]:
+    """K5: multi-sheet report. With openpyxl installed this writes one
+    xlsx; in this container (no Excel lib) it writes <target>/<sheet>.csv
+    per sheet — same collected data, import-gated, never a hard dep."""
+    written: list[str] = []
+    frames = {name: df.limit(max_rows).toPandas() for name, df in sheets.items()}
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+
+        Path(target).parent.mkdir(parents=True, exist_ok=True)
+        with pd.ExcelWriter(target, engine="openpyxl") as xw:
+            for name, pdf in frames.items():
+                pdf.to_excel(xw, sheet_name=name[:31], index=False)
+        written.append(target)
+    except ImportError:
+        out_dir = Path(target).with_suffix("")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for name, pdf in frames.items():
+            p = out_dir / f"{name}.csv"
+            pdf.to_csv(p, index=False)
+            written.append(str(p))
+    return written
