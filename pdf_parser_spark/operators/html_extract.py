@@ -1,0 +1,128 @@
+"""Distributed HTML boilerplate stripping (north_rule DOM-heuristic
+pipeline).
+
+Two operators over documents(url, html, ...):
+
+  html_blocks(docs)     one row per DOM block with text/link-density/
+                        depth scores + the content classification —
+                        the inspectable intermediate (tune thresholds,
+                        audit misclassifications) and the input to
+                        block-level analytics;
+  html_main_text(docs)  (url, extracted_text) — content blocks joined
+                        in document order; on the synthetic corpus
+                        this must equal the pre-extracted `text`
+                        column byte-identically per url.
+
+Scale notes (10^12 docs):
+  - both are single mapInPandas passes: zero shuffles, the html
+    binary column is the only heavy input and is pruned everywhere
+    else (Catalyst reads it solely on this path);
+  - the stdlib tokenizer is allocation-light and batch-amortized;
+    Arrow batches are small (plans/session caps maxRecordsPerBatch)
+    because html rows are KB-MB scale;
+  - per-partition failure accounting mirrors operators/extract.py —
+    a truncated/hostile page yields its salvageable prefix blocks,
+    never a task failure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..core.html_extract import classify_block, extract_main_text, segment_blocks
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("block_no", T.IntegerType()),
+        T.StructField("tag_path", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("link_density", T.DoubleType()),
+        T.StructField("is_content", T.BooleanType()),
+    ]
+)
+
+TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("n_content_blocks", T.IntegerType()),
+    ]
+)
+
+
+def html_blocks(
+    docs: DataFrame, max_link_density: float = 0.33, min_chars: int = 1
+) -> DataFrame:
+    """documents → one scored row per DOM block (flatMap shape)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, html in zip(batch["url"], batch["html"]):
+                for b in segment_blocks(html):
+                    rows.append(
+                        {
+                            "url": url,
+                            "block_no": b.block_no,
+                            "tag_path": b.tag_path,
+                            "depth": b.depth,
+                            "text": b.text,
+                            "n_chars": b.n_chars,
+                            "link_density": b.link_density,
+                            "is_content": classify_block(b, max_link_density, min_chars),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return docs.select("url", "html").mapInPandas(run, schema=BLOCK_SCHEMA)
+
+
+def html_main_text(
+    docs: DataFrame,
+    separator: str = "\f",
+    max_link_density: float = 0.33,
+    min_chars: int = 1,
+) -> DataFrame:
+    """documents → (url, extracted_text) boilerplate-stripped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, html in zip(batch["url"], batch["html"]):
+                blocks = segment_blocks(html)
+                kept = [b for b in blocks if classify_block(b, max_link_density, min_chars)]
+                rows.append(
+                    {
+                        "url": url,
+                        "extracted_text": separator.join(b.text for b in kept),
+                        "n_blocks": len(blocks),
+                        "n_content_blocks": len(kept),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TEXT_SCHEMA.fields])
+
+    return docs.select("url", "html").mapInPandas(run, schema=TEXT_SCHEMA)
+
+
+def boilerplate_stats(blocks: DataFrame) -> DataFrame:
+    """Corpus rollup for threshold tuning: per tag_path, block counts,
+    content share and mean link density (one hash agg)."""
+    return (
+        blocks.groupBy("tag_path")
+        .agg(
+            F.count("*").alias("blocks"),
+            F.sum(F.when(F.col("is_content"), 1).otherwise(0)).alias("content_blocks"),
+            F.round(F.avg("link_density"), 4).alias("avg_link_density"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .withColumn(
+            "content_share", F.round(F.col("content_blocks") / F.col("blocks"), 4)
+        )
+    )

@@ -1,0 +1,244 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed with Arrow-batched mapInPandas (training-data tier).
+
+The Spark-side plumbing — schemas, batch shapes, UDF signatures,
+flatMap explosion for frame sampling, failure accounting, partition
+spread — is real and tested. The CODEC layer is a documented stub:
+this container has no image/audio libraries, so `_decode_*` parse the
+deterministic FAKE container formats from sources/synth_media.py and
+raise NotImplementedError for real mime types. Swapping in PIL/ffmpeg
+is a per-function body change; no plan or schema changes.
+
+Scale notes (10^12 rows):
+  - every operator is one mapInPandas pass (zero shuffles); media
+    binaries are the dominant bytes, so Arrow batches stay small
+    (plans/session caps maxRecordsPerBatch) and the media column is
+    column-pruned everywhere else;
+  - frame sampling is a flatMap (rows out >> rows in): emitted frames
+    carry (url, frame_no) so a downstream repartition can spread one
+    mega-video's frames across executors — same skew treatment as
+    mega-documents;
+  - decode failures become status rows, never task failures
+    (parse-failure accounting per partition, as in extract.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), nullable=False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+EMBED_DIM = 16
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+# --- stub codec layer (swap for PIL/soundfile/ffmpeg in production) ---
+
+
+def _decode_image(data: bytes) -> tuple[int, int, bytes]:
+    """→ (width, height, pixels). STUB: FIMG container only."""
+    if data[:4] == b"FIMG":
+        w, h = struct.unpack(">II", data[4:12])
+        return w, h, data[12 : 12 + w * h]
+    raise NotImplementedError("real image codecs (PIL) not available in this container")
+
+
+def _decode_audio(data: bytes) -> tuple[int, int, bytes]:
+    """→ (sample_rate, n_samples, pcm). STUB: FAUD container only."""
+    if data[:4] == b"FAUD":
+        sr, ns = struct.unpack(">II", data[4:12])
+        return sr, ns, data[12 : 12 + ns]
+    raise NotImplementedError("real audio codecs not available in this container")
+
+
+def _decode_video_header(data: bytes) -> tuple[int, int, int]:
+    """→ (width, height, n_frames). STUB: FVID container only."""
+    if data[:4] == b"FVID":
+        return struct.unpack(">III", data[4:16])
+    raise NotImplementedError("real video demuxers (ffmpeg) not available in this container")
+
+
+def _video_frame(data: bytes, width: int, height: int, frame_no: int) -> bytes:
+    off = 16 + frame_no * width * height
+    return data[off : off + width * height]
+
+
+# --- operators --------------------------------------------------------
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """(url, kind, media, mime) → typed metadata row per item.
+
+    Decode failures (corrupt bytes, unsupported mime) yield
+    status='decode_error' rows — accounted, never thrown.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, kind, data in zip(batch["url"], batch["kind"], batch["media"]):
+                row = {
+                    "url": url, "kind": kind, "status": "ok",
+                    "n_bytes": len(data) if data is not None else 0,
+                    "width": None, "height": None, "sample_rate": None,
+                    "n_samples": None, "n_frames": None,
+                    "content_hash": hashlib.blake2s(data or b"", digest_size=16).hexdigest(),
+                }
+                try:
+                    if kind == "image":
+                        row["width"], row["height"], _ = _decode_image(data)
+                    elif kind == "audio":
+                        row["sample_rate"], row["n_samples"], _ = _decode_audio(data)
+                    elif kind == "video":
+                        row["width"], row["height"], row["n_frames"] = _decode_video_header(data)
+                    else:
+                        row["status"] = "unknown_kind"
+                except NotImplementedError:
+                    row["status"] = "unsupported_codec"
+                except Exception:
+                    row["status"] = "decode_error"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in META_SCHEMA.fields])
+
+    return media.select("url", "kind", "media").mapInPandas(run, schema=META_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Image resize, binary→binary (same schema back). STUB resampler:
+    nearest-neighbor over the FIMG payload — the real body would call
+    PIL; batch shape, error handling and schema are production-real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, kind, data, mime in zip(
+                batch["url"], batch["kind"], batch["media"], batch["mime"]
+            ):
+                out = data
+                if kind == "image":
+                    try:
+                        w, h, px = _decode_image(data)
+                        resized = bytearray(out_w * out_h)
+                        for y in range(out_h):
+                            sy = min(h - 1, (y * h) // out_h)
+                            base = sy * w
+                            for x in range(out_w):
+                                sx = min(w - 1, (x * w) // out_w)
+                                resized[y * out_w + x] = px[base + sx] if base + sx < len(px) else 0
+                        out = b"FIMG" + struct.pack(">II", out_w, out_h) + bytes(resized)
+                    except Exception:
+                        out = None  # undecodable → null media, kept for accounting
+                rows.append({"url": url, "kind": kind, "media": out, "mime": mime})
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media.select("url", "kind", "media", "mime").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video → every Nth frame as its own row (flatMap explosion).
+
+    Emitted rows carry (url, frame_no); repartition downstream on
+    xxhash64(url, frame_no) to spread a mega-video's frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, kind, data in zip(batch["url"], batch["kind"], batch["media"]):
+                if kind != "video":
+                    continue
+                try:
+                    w, h, nf = _decode_video_header(data)
+                except Exception:
+                    continue
+                for f_no in range(0, nf, every_n):
+                    rows.append(
+                        {
+                            "url": url,
+                            "frame_no": f_no,
+                            "width": w,
+                            "height": h,
+                            "frame": _video_frame(data, w, h, f_no),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("url", "kind", "media").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def media_embeddings(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Deterministic fake feature extractor: binary → float vector.
+
+    STUB for a real vision/audio encoder (ONNX/torch absent here):
+    features are seeded from a content digest, so identical bytes →
+    identical embedding (supports downstream dedup/ANN testing)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, data in zip(batch["url"], batch["media"]):
+                if data is None:
+                    rows.append({"url": url, "status": "null_media", "embedding": None})
+                    continue
+                digest = hashlib.blake2s(data, digest_size=dim * 2).digest()
+                vec = [
+                    (int.from_bytes(digest[2 * i : 2 * i + 2], "big") - 32768) / 32768.0
+                    for i in range(dim)
+                ]
+                rows.append({"url": url, "status": "ok", "embedding": vec})
+            yield pd.DataFrame(rows, columns=[f.name for f in EMBED_SCHEMA.fields])
+
+    return media.select("url", "media").mapInPandas(run, schema=EMBED_SCHEMA)
+
+
+def media_summary(meta: DataFrame) -> DataFrame:
+    """Per-kind rollup: counts, failure rate, distinct payloads."""
+    return meta.groupBy("kind").agg(
+        F.count("*").alias("items"),
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("failures"),
+        F.sum("n_bytes").alias("bytes"),
+        F.countDistinct("content_hash").alias("distinct_payloads"),
+    )
