@@ -1,0 +1,86 @@
+"""Physical-plan assertions: the scale properties the engine promises.
+
+These lock in the plan shapes that make the suite viable at 100 TB —
+if a refactor regresses a broadcast into a shuffle, a pushed filter
+into a post-scan filter, or the range join into a nested loop, these
+fail before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pdf_parser_spark.queries.suite import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return SPARK_QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark):
+    assert plan_of(spark, "q02_top_revenue_orders").count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan_of(spark, "q03_nation_revenue")
+
+
+def test_filters_pushed_to_scan(spark):
+    plan = plan_of(spark, "q02_top_revenue_orders")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    pushed = [l for l in scans if "DataFilters: [isnotnull" in l or "PushedFilters: [" in l]
+    assert len(pushed) >= 3, "date/segment filters must reach the parquet scans"
+    # and the scans are column-pruned (no full-row reads)
+    assert any("c_custkey" in l and "c_name" not in l for l in scans)
+
+
+def test_semi_and_anti_joins(spark):
+    assert "LeftSemi" in plan_of(spark, "q04_bulk_parts_semi")
+    assert "LeftAnti" in plan_of(spark, "q05_customers_without_orders")
+
+
+def test_range_gather_is_hash_join_on_url(spark):
+    plan = plan_of(spark, "q18_chunk_page_gather")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # equi key = url; page range rides as the join residual
+    joins = [l for l in plan.splitlines() if "Join" in l and "url" in l]
+    assert joins and any("page_no" in l for l in joins)
+
+
+def test_toc_parse_is_shuffle_free(spark):
+    assert "Exchange" not in plan_of(spark, "q14_toc_parse")
+
+
+def test_parent_repair_shuffles_on_url_key_only(spark):
+    plan = plan_of(spark, "q15_toc_parent_repair")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "url" in line, line
+
+
+def test_topk_avoids_global_sort(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "q30_cosine_topk")
+
+
+def test_column_pruning_extraction_path(spark):
+    """The html binary column must never be read on the text path."""
+    from pdf_parser_spark.operators import extract as ox
+    from pdf_parser_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 5, seed=42)
+    plan = ox.extract_documents(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "html" not in plan.split("MapInPandas")[0], "html must be pruned before the UDF"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "q22_maxima_total", "q28_quality_summary"],
+)
+def test_aggs_have_partial_phase(spark, name):
+    """groupBy aggregates must map-side combine (partial_ markers)."""
+    plan = plan_of(spark, name)
+    assert "partial_" in plan, f"{name} lost map-side partial aggregation"
