@@ -66,6 +66,11 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: pay JVM/codegen/Arrow/python-worker startup once, untimed,
+    # so per-query timings measure the plans rather than first-run JIT
+    _force(SPARK_QUERIES["q01_pricing_summary"](spark, sf_dir))
+    _force(SPARK_QUERIES["q14_toc_parse"](spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -86,10 +86,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, key_col: str = "doc_id", bands: int = 8
+    signatures: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on any full band become a candidate
-    pair. Equi-join per band → shuffle on (band, band_hash) only."""
+    pair. Equi-join per band → shuffle on (band, band_hash) only.
+
+    `max_bucket_size` is the quadratic-blowup guard: a bucket of n docs
+    emits n·(n-1)/2 pairs, and web corpora have degenerate buckets
+    (identical boilerplate pages, empty documents) with n in the
+    millions. Buckets above the cap are dropped before the self-join —
+    their members are (near-)identical cliques better handled by exact
+    fingerprint dedup upstream, not by pairwise verification. The cap
+    costs one extra hash agg on the already-shuffled (band, band_hash)
+    key (co-partitioned, map-side combined).
+    """
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = signatures.select(
         key_col,
@@ -111,6 +124,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select(key_col, "bh.band", "bh.band_hash")
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(ok_buckets, on=["band", "band_hash"], how="left_semi")
     left = banded.alias("a")
     right = banded.alias("b")
     return (

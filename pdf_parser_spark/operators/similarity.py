@@ -115,6 +115,89 @@ def ann_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means coarse quantizer for IVF.
+
+    Init = the k rows with smallest keys (deterministic, no RNG).
+    Each iteration is two DataFrame passes: argmin-assign against the
+    broadcast centroid literals (codegen'd expression, no UDF), then
+    posexplode + avg to recompute means. Only the k×dim centroid
+    matrix ever reaches the driver. At 10^12 rows you'd train on a
+    sample partition and broadcast the result — same code path.
+    """
+    seed_rows = emb.orderBy(key_col).limit(k).select(vec_col).collect()
+    cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = emb.withColumn("list_id", _nearest_centroid(F.col(vec_col), cents))
+        new = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select("list_id", F.col("s.m").alias("c"))
+            .collect()
+        )
+        by_id = {r["list_id"]: [float(x) for x in r["c"]] for r in new}
+        cents = [by_id.get(j, cents[j]) for j in range(len(cents))]
+    return cents
+
+
+def _nearest_centroid(vec, cents: list[list[float]]):
+    """Argmin-distance expression over broadcast centroid literals."""
+    best_id = F.lit(0)
+    best_d = None
+    for j, c in enumerate(cents):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, cl, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            best_id = F.when(d < best_d, F.lit(j)).otherwise(best_id)
+            best_d = F.least(d, best_d)
+    return best_id
+
+
+def ivf_assign(
+    emb: DataFrame, cents: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the IVF list id (nearest coarse centroid). At scale this
+    column is the partition/cluster key of the stored index."""
+    return emb.withColumn("list_id", _nearest_centroid(F.col(vec_col), cents))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    cents: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the n_probe lists whose
+    centroids are nearest the query — prunes the scan to
+    ~n·n_probe/k_lists rows (partition pruning when list_id is the
+    storage partition key)."""
+    dists = [
+        (j, sum((float(q) - c) ** 2 for q, c in zip(query_vec, cj)))
+        for j, cj in enumerate(cents)
+    ]
+    probe = [j for j, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    pruned = ivf_assign(emb, cents, vec_col).where(F.col("list_id").isin(probe))
+    return cosine_topk(pruned, query_vec, k=k, key_col=key_col, vec_col=vec_col)
+
+
 def centroids(emb: DataFrame, by: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Per-group mean vector via positional explode + avg (native)."""
     exploded = emb.select(by, F.posexplode(vec_col).alias("pos", "val"))

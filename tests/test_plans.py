@@ -84,3 +84,32 @@ def test_aggs_have_partial_phase(spark, name):
     """groupBy aggregates must map-side combine (partial_ markers)."""
     plan = plan_of(spark, name)
     assert "partial_" in plan, f"{name} lost map-side partial aggregation"
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both sides bucketed on the join key → SortMergeJoin with zero
+    Exchanges (the Iceberg bucket(N, key) pattern)."""
+    from pdf_parser_spark.plans import bucketing as bk
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    bk.write_bucketed(orders, "b_orders", "o_orderkey", buckets=4, path=str(tmp_path / "bo"))
+    bk.write_bucketed(
+        lineitem, "b_lineitem", "l_orderkey", buckets=4, path=str(tmp_path / "bl")
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            bk.bucketed(spark, "b_lineitem")
+            .join(bk.bucketed(spark, "b_orders"),
+                  on=spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey)
+            .select("l_orderkey", "o_totalprice")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert bk.join_is_shuffle_free(joined), plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

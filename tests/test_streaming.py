@@ -68,3 +68,42 @@ def test_windowed_counts_watermark(spark, tmp_path):
     assert got.count() >= 1
     assert set(got.columns) == {"window_start", "lang", "docs", "text_bytes"}
     assert got.agg({"docs": "sum"}).collect()[0][0] >= 1
+
+
+def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps one row per distinct text across
+    micro-batches; re-crawled duplicates only bump state."""
+    from pyspark.sql import Row
+    from pdf_parser_spark.streaming import stateful as sf
+    import pdf_parser_spark.sources.corpus as corpus
+
+    in_dir = tmp_path / "dd_in"
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    in_dir.mkdir()
+
+    def write(batch_name, rows):
+        df = spark.createDataFrame(rows, schema="url string, text string")
+        df = df.selectExpr(
+            "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html",
+            "text", "cast(null as string) lang",
+        )
+        df.write.parquet(str(in_dir / batch_name))
+
+    write("b1", [Row(url="u1", text="alpha beta"), Row(url="u2", text="gamma delta"),
+                 Row(url="u3", text="ALPHA   beta")])  # normalizes equal to u1
+    s = st.read_document_stream(spark, str(in_dir / "*"))
+    q = sf.run_first_seen(s, out, ckpt, available_now=True)
+    _drain(q)
+    got1 = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got1) == {"u1", "u2"}          # u3 deduped within batch, min-url keeper
+    assert got1["u1"]["dupes_so_far"] == 2
+
+    # batch 2: re-crawl of alpha + one new text → only the new one emits
+    write("b2", [Row(url="u4", text="alpha beta"), Row(url="u5", text="epsilon zeta")])
+    s = st.read_document_stream(spark, str(in_dir / "*"))
+    _drain(sf.run_first_seen(s, out, ckpt, available_now=True))
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3
+    assert got2.where("url = 'u5'").count() == 1
+    assert got2.where("url = 'u4'").count() == 0  # cross-batch duplicate suppressed
