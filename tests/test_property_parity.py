@@ -1,0 +1,98 @@
+"""Property-based parity: native column expressions vs the byte-parity
+core, on adversarial generated strings (hypothesis).
+
+The native exprs (functions/normalize.py, operators/chunk_native.py)
+promise byte-equality with core/text.py, which itself golden-matches
+the reference. Random unicode (ligatures, NBSPs, dashes, dot leaders,
+digits, controls) hunts the corner cases fixed examples miss.
+
+Strategy note: one Spark round-trip per example would be minutes; each
+property instead collects a BATCH of examples into one DataFrame pass.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pdf_parser_spark.core import text as core_text
+from pdf_parser_spark.core.headings import extract_heading
+
+ADVERSARIAL_ALPHABET = (
+    "abcdefgXYZ0123456789 .·•․…\t  ‐‑–—−ﬁﬂﬀTtable Figure-_/\\\"'\n()[]"
+)
+
+line_strategy = st.text(alphabet=ADVERSARIAL_ALPHABET, min_size=0, max_size=80)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(line_strategy, min_size=1, max_size=40))
+def test_normalize_pure_functions_total(lines):
+    """Core scalars are total (never raise) and idempotent where the
+    reference contract implies it."""
+    for s in lines:
+        n = core_text.normalize_text(s)
+        assert core_text.normalize_text(n) == n  # idempotent after first pass
+        core_text.strip_dot_leaders(s)
+        core_text.norm_caption_line(s)
+        core_text.clean_heading_title(s)
+        core_text.clean_content(s)
+        core_text.normalize_sentences(s)
+        core_text.norm_id(s)
+        extract_heading(s)  # may return None; must not raise
+
+
+def _batch_compare(spark, lines, native_col_fn, core_fn):
+    from pyspark.sql import Row, functions as F
+
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(lines)])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", native_col_fn(F.col("s")).alias("n")).collect()
+    }
+    for i, s in enumerate(lines):
+        assert got[i] == core_fn(s), repr(s)
+
+
+def test_native_normalize_matches_core_on_generated_batch(spark):
+    from pdf_parser_spark.functions.normalize import (
+        normalize_text_native,
+        strip_dot_leaders_native,
+    )
+
+    # deterministic adversarial corpus (cartesian seed pairs), single
+    # Spark pass — per-example round-trips would take minutes
+    seeds = [
+        "ﬁx this — now", "a\tb  c", "…·•", "T a b l e 5.1", ".....", "x" * 80,
+        "—‐‑–−", "  ", "1.2.3 Title .... 45", "ﬂﬀ mixed ﬁ", "", " ",
+        "Page 12", "a.b.c.d", ".. . .. . ..", "title .·• 99", "-\n-", 'say \\"hi\\"',
+    ]
+    lines = [a + b for a in seeds for b in seeds][:300]
+    _batch_compare(
+        spark,
+        lines,
+        lambda c: normalize_text_native(c),
+        core_text.normalize_text,
+    )
+    _batch_compare(
+        spark,
+        lines,
+        lambda c: strip_dot_leaders_native(c),
+        core_text.strip_dot_leaders,
+    )
+
+
+def test_native_caption_norm_matches_core_on_generated_batch(spark):
+    from pdf_parser_spark.operators.chunk_native import norm_caption_line_native
+
+    seeds = [
+        "T a b l e 5.1 x", "F i g u r e 2-3", "Table5.4", "Figure A.1.2b end",
+        "table  9", "TABLE 7.7", "ﬁgure 1", "Table 3.3", "Figure –4",
+        " T a b l e ", "FigureX", "Table .", "", "no captions",
+    ]
+    lines = [a + " " + b for a in seeds for b in seeds][:196]
+    _batch_compare(spark, lines, norm_caption_line_native, core_text.norm_caption_line)
