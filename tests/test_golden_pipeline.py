@@ -115,8 +115,14 @@ def corpus():
     return generate_corpus(N_DOCS, seed=SEED)
 
 
-def test_golden_byte_identity(ref, corpus, tmp_path):
-    """Per url: toc rows, chunk exports (content bytes!), validation."""
+@pytest.mark.parametrize("seed", [SEED, 7])
+def test_golden_byte_identity(ref, tmp_path, seed):
+    """Per url: toc rows, chunk exports (content bytes!), validation.
+
+    Two seeds: distinct branch mixes (appendix presence, dropped
+    parents, heading-driven docs, mega-doc pagination) per corpus.
+    """
+    corpus = generate_corpus(N_DOCS, seed=seed)
     statuses = {}
     for i, doc in enumerate(corpus):
         workdir = tmp_path / f"doc{i}"
