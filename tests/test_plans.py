@@ -113,3 +113,45 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE skew-join config must actually fire: a join
+    with one hot key gets its oversized partition split at runtime
+    (plan shows skew=true) instead of one straggler task."""
+    from pyspark.sql import functions as F
+
+    skewed = spark.range(0, 300_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    dim = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        joined = skewed.join(dim, on="k")
+        # execute THIS DataFrame's QueryExecution (count() would build a
+        # different one and the adaptive plan would never finalize)
+        assert len(joined.collect()) == 275_000  # 270k hot-key + 5k tail
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
