@@ -55,3 +55,36 @@ def test_extract_plan_prunes_columns(spark, tmp_path):
     assert read_schema, plan
     assert "html" not in read_schema[0], read_schema[0]
     assert "url" in read_schema[0] and "text" in read_schema[0], read_schema[0]
+
+
+def test_validate_distributed_matches_inline_validation(spark):
+    """The cogrouped table-level validator must reproduce the one-pass
+    extractor's per-document ValidationReport exactly (same core, same
+    greedy fuzzy semantics) when fed the extractor's own sink tables."""
+    from pyspark.sql import functions as F
+    from pdf_parser_spark.operators import extract as ox
+    from pdf_parser_spark.operators.validate_dist import validate_distributed
+    from pdf_parser_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 30, seed=42)
+    extracted = ox.extract_documents(docs).cache()
+    toc = ox.toc_table(extracted)
+    chunks = ox.chunks_table(extracted)
+
+    got = {r["url"]: r.asDict() for r in validate_distributed(toc, chunks).collect()}
+    want_df = ox.validation_table(extracted).where(F.col("toc_section_count").isNotNull())
+    want = {r["url"]: r.asDict() for r in want_df.collect()}
+
+    # the inline path validates every doc that produced a report; the
+    # table path sees only urls with toc or chunk rows — compare those
+    for url, w in want.items():
+        if url not in got:
+            assert w["toc_section_count"] == 0 and w["parsed_section_count"] == 0
+            continue
+        g = got[url]
+        for k in ("toc_section_count", "parsed_section_count"):
+            assert g[k] == w[k], (url, k)
+        for k in ("missing_sections", "extra_sections", "out_of_order_sections",
+                  "matched_sections"):
+            assert list(g[k]) == list(w[k]), (url, k)
+    extracted.unpersist()
