@@ -150,6 +150,26 @@ def extract_documents(docs: DataFrame, min_dots: int = 0, strip_dots: bool = Fal
     return docs.select("url", "text").mapInPandas(run, schema=EXTRACTED)
 
 
+def extract_documents_from_html(
+    docs: DataFrame, min_dots: int = 0, strip_dots: bool = False
+) -> DataFrame:
+    """Same lifecycle, but the text is recovered from the `html` binary
+    by the DOM-heuristic boilerplate stripper first (north_star path:
+    HTML strip → layout extraction in one job).
+
+    Because the stripper is byte-identical to the pre-extracted text on
+    well-formed pages, this path produces the same toc/chunks/validation
+    as the text path (asserted by tests/test_spark_extract.py). Both
+    passes are mapInPandas — still zero cross-document shuffles.
+    """
+    from .html_extract import html_main_text
+
+    texts = html_main_text(docs).select(
+        "url", F.col("extracted_text").alias("text")
+    )
+    return extract_documents(texts, min_dots=min_dots, strip_dots=strip_dots)
+
+
 def toc_table(extracted: DataFrame) -> DataFrame:
     """Flat per-row ToC table (golden output #1 shape + url)."""
     return extracted.select("url", F.explode("toc").alias("e")).select("url", "e.*")

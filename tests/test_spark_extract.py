@@ -88,3 +88,24 @@ def test_validate_distributed_matches_inline_validation(spark):
                   "matched_sections"):
             assert list(g[k]) == list(w[k]), (url, k)
     extracted.unpersist()
+
+
+def test_extract_from_html_equals_text_path(spark):
+    """north_star loop closure: html → DOM strip → extraction produces
+    the same toc/chunks/validation as the pre-extracted text path on
+    well-formed pages (the stripper is byte-identical there)."""
+    from pdf_parser_spark.operators import extract as ox
+    from pdf_parser_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 25, seed=42).where("text != ''")
+    via_text = ox.extract_documents(docs)
+    via_html = ox.extract_documents_from_html(docs)
+
+    t = {r["url"]: r for r in via_text.select("url", "status", "n_pages", "toc", "chunks").collect()}
+    h = {r["url"]: r for r in via_html.select("url", "status", "n_pages", "toc", "chunks").collect()}
+    assert set(t) == set(h)
+    for url in t:
+        assert t[url]["status"] == h[url]["status"], url
+        assert t[url]["n_pages"] == h[url]["n_pages"], url
+        assert t[url]["toc"] == h[url]["toc"], url
+        assert t[url]["chunks"] == h[url]["chunks"], url
