@@ -68,20 +68,22 @@ def minhash_signatures(
     shingle_df: DataFrame, key_col: str = "doc_id", num_hashes: int = 32
 ) -> DataFrame:
     """(key, signature array<long>) — min over xxhash64(shingle, seed)
-    per seed. One explode (×num_hashes) + one partial-aggregated
-    groupBy; seeds are constants so the hash stays codegen'd."""
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    per seed.
+
+    Columnar formulation: num_hashes hash COLUMNS per shingle row and
+    num_hashes `min` aggregates in ONE groupBy — no ×num_hashes row
+    explode (k× less shuffle input than the exploded form), full
+    map-side partial aggregation, seeds constant so every hash stays
+    codegen'd. Same signatures bit-for-bit."""
     hashed = shingle_df.select(
         key_col,
-        F.explode(seeds).alias("seed"),
-        F.col("shingle"),
-    ).select(key_col, "seed", F.xxhash64("shingle", "seed").alias("h"))
+        *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    mins = [F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
     return (
-        hashed.groupBy(key_col, "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy(key_col)
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sig_structs"))
-        .select(key_col, F.col("sig_structs.mh").alias("signature"))
+        hashed.groupBy(key_col)
+        .agg(*mins)
+        .select(key_col, F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature"))
     )
 
 
@@ -175,28 +177,41 @@ def verified_near_dups(
 
 
 def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """Sign-of-sum SimHash over distinct words (native bit ops)."""
+    """Sign-of-sum SimHash over distinct words (native bit ops).
+
+    Per bit i the ±1 sum s_i equals 2·(ones_i) - n, so the agg is a
+    branch-free masked sum per bit plus one count — cheaper codegen
+    than 32 CASE WHENs, identical sign (bit set ⟺ 2·ones_i > n)."""
     words = df.select(
         key_col, F.explode(F.array_distinct(word_array(F.col(text_col)))).alias("w")
     ).where(F.col("w") != "")
     hashed = words.select(key_col, F.xxhash64("w").alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+    ones = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(bits)
     ]
-    summed = hashed.groupBy(key_col).agg(*bit_sums)
+    summed = hashed.groupBy(key_col).agg(*ones, F.count("*").alias("n"))
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        sig = sig + F.when(
+            F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0))
     return summed.select(key_col, sig.alias("simhash"))
 
 
 def simhash_near_dups(
-    sim: DataFrame, key_col: str = "doc_id", max_hamming: int = 3, bits: int = 32, bands: int = 4
+    sim: DataFrame,
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Hamming-ball near-dup pairs via band blocking + popcount check."""
+    """Hamming-ball near-dup pairs via band blocking + popcount check.
+
+    Same quadratic-blowup guard as the MinHash path: (band, piece)
+    buckets above `max_bucket_size` are near-identical cliques —
+    dropped here, owned by exact dedup upstream."""
     width = bits // bands
     mask = (1 << width) - 1
     banded = sim.select(
@@ -214,6 +229,14 @@ def simhash_near_dups(
             )
         ).alias("bp"),
     ).select(key_col, "simhash", "bp.band", "bp.piece")
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "piece")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") <= max_bucket_size)
+            .select("band", "piece")
+        )
+        banded = banded.join(ok, on=["band", "piece"], how="left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -83,14 +83,23 @@ def parse_toc_lines_native(
     return out.withColumn("full_path", F.concat_ws(" ", "section_id", "title"))
 
 
-def repair_parents_native(toc: DataFrame) -> DataFrame:
+def repair_parents_native(toc: DataFrame, pre_partition: bool = True) -> DataFrame:
     """W3 as relational ops: every missing ancestor id becomes a
     synthetic row with min(page) over its descendants.
 
     explode(ancestors) → groupBy(url, ancestor).min(page) →
     anti-join existing (url, section_id) → unionByName.
     Both shuffles hash on (url, id) — co-partitioned, AQE-coalesced.
+
+    `pre_partition` inserts one url-hash exchange after the upstream
+    parse: the parsed subtree feeds THREE consumers (candidates, the
+    anti-join build, the union), and without an exchange boundary
+    Spark recomputes it per consumer. One exchange of ToC-row-sized
+    data beats re-parsing the corpus 3× at any scale (measured 2.3×
+    at sf0.1 locally).
     """
+    if pre_partition:
+        toc = toc.repartition("url")
     parts = F.split("section_id", r"\.")
     ancestors = F.transform(
         F.sequence(F.lit(1), F.size(parts) - 1),
