@@ -96,3 +96,62 @@ def test_native_caption_norm_matches_core_on_generated_batch(spark):
     ]
     lines = [a + " " + b for a in seeds for b in seeds][:196]
     _batch_compare(spark, lines, norm_caption_line_native, core_text.norm_caption_line)
+
+
+# --- full-parser fuzz vs the importable reference ---------------------
+
+toc_component = st.one_of(
+    st.from_regex(r"[0-9]{1,3}(\.[0-9]{1,2}){0,3}", fullmatch=True),   # numeric sids
+    st.from_regex(r"[A-Z](\.[0-9]{1,2}){0,2}", fullmatch=True),        # appendix sids
+    st.text(alphabet="abcXYZ 019.·•…ﬁ–  \t", min_size=0, max_size=12),  # junk
+)
+toc_title = st.text(alphabet="abc XYZ01.ﬁ–·—  ", min_size=0, max_size=24)
+toc_leader = st.sampled_from(["", " ", " ... ", " " + "." * 9 + " ", " · · · ", "\t"])
+toc_page = st.one_of(st.integers(min_value=0, max_value=99999), st.just(""))
+
+toc_line = st.builds(
+    lambda sid, t, lead, p: f"{sid} {t}{lead}{p}",
+    toc_component, toc_title, toc_leader, toc_page,
+)
+toc_noise = st.sampled_from([
+    "Table Of Contents", "List of Figures", "list of tables 9",
+    "a b c d e f g h 12", "", "   ", "…", "9.9 Broken row 0",
+])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(toc_line, toc_noise), min_size=0, max_size=25))
+def test_toc_parser_fuzz_matches_reference(ref, lines):
+    """core.toc.parse_toc_lines must equal the reference parser on
+    arbitrary ToC-shaped input (incl. the []-on-any-error catch-all,
+    parent repair, and appendix-aware sort)."""
+    from pdf_parser_spark.core.toc import parse_toc_lines
+
+    ours = parse_toc_lines(lines, doc_title="fuzz")
+    theirs = [e.model_dump() for e in ref.toc.parse_toc_lines(lines, doc_title="fuzz")]
+    assert ours == theirs, lines
+
+
+heading_line = st.one_of(
+    st.builds(lambda sid, t: f"{sid} {t}", toc_component, toc_title),
+    st.sampled_from([
+        "Page 12", "7 4711", "3 ab", "0 zero", "4 0101 run",
+        "2 Universal Serial Bus Power Delivery Specification",
+        "5 Power .... 99", "1.2.3 State Machines", "A.1 Cable Assemblies",
+    ]),
+    line_strategy,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(heading_line, min_size=0, max_size=20))
+def test_heading_extractor_fuzz_matches_reference(ref, lines):
+    """core.headings.extract_heading ≡ the reference detector (grammar,
+    title clean, every noise rule incl. the num=title quirk)."""
+    from pdf_parser_spark.core.headings import extract_heading
+
+    detector = ref.chunk.HeadingDetector(ref.chunk.Cleaner())
+    for line in lines:
+        ours = extract_heading(line)
+        theirs = detector.extract_heading(line, toc_ids=None, toc_map=None)
+        assert ours == theirs, repr(line)
