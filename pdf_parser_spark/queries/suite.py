@@ -1137,3 +1137,81 @@ def q37(spark, sf):
     docs = d.select(F.col("doc_id").alias("url"), synth_text.alias("text"))
     sents = gr.sentences_from_text(docs)
     return gr.extract_triples(sents)
+
+
+# =====================================================================
+# Analytics extras: pivot / rollup / as-of (guide §OLAP patterns)
+# =====================================================================
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q38_event_pivot",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q38(spark, sf):
+    """Pivot: per-user event-type count matrix (explicit value list →
+    deterministic columns, single hash agg underneath)."""
+    e = _t(spark, sf, "events")
+    out = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "q39_lineitem_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q39(spark, sf):
+    """Rollup hierarchy totals (flag, status) → flag → grand total;
+    subtotal rows carry NULL group keys in both engines."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(_DEC2)).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "q40_asof_last_purchase",
+    """
+    SELECT event_id, user_id,
+           COALESCE(epoch_us(ts) - MAX(CASE WHEN event_type = 'purchase'
+                                            THEN epoch_us(ts) END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             AS us_since_purchase
+    FROM events
+    """,
+)
+def q40(spark, sf):
+    """As-of lookup: for every event, microseconds since that user's
+    most recent PRIOR purchase (merge_asof semantics via a
+    frame-bounded conditional max — no join materialization)."""
+    e = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_purchase = F.max(F.when(F.col("event_type") == "purchase", us)).over(w)
+    return e.select(
+        "event_id", "user_id",
+        F.coalesce(us - last_purchase, F.lit(-1)).alias("us_since_purchase"),
+    )
