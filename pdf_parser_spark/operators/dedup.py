@@ -176,6 +176,57 @@ def verified_near_dups(
     )
 
 
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(key, sh: array<string>) distinct shingle set per doc — the
+    shared upstream of both the MinHash signatures and the Jaccard
+    verification. One groupBy(key) shuffle."""
+    return (
+        shingles(df, text_col, key_col, n=n)
+        .groupBy(key_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """End-to-end MinHash near-dup pipeline sharing ONE shingle pass.
+
+    The naive composition (minhash_signatures(shingles(df)) +
+    verified_near_dups(df, ...)) re-tokenizes the corpus twice; here
+    both the signatures and the verification sets derive from
+    `shingle_sets`, whose groupBy(key) exchange is the reuse point —
+    signatures re-aggregate on the SAME key (no new shuffle: the
+    child's hash partitioning already satisfies it), and the verify
+    join reuses the exchange instead of re-scanning the text.
+    """
+    sets_df = shingle_sets(df, text_col, key_col, n=shingle_n)
+    exploded = sets_df.select(key_col, F.explode("sh").alias("shingle"))
+    sigs = minhash_signatures(exploded, key_col=key_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, key_col=key_col, bands=bands, max_bucket_size=max_bucket_size
+    )
+    a = sets_df.select(F.col(key_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(key_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.when(union == 0, F.lit(0.0)).otherwise(inter / union))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """Sign-of-sum SimHash over distinct words (native bit ops).
 

@@ -1057,11 +1057,8 @@ def q33(spark, sf):
     (shingle → k-seed minhash → banded join → verify). xxhash64-based,
     so no SQL oracle — rows-only check."""
     d = _t(spark, sf, "documents")
-    sh = dedup.shingles(d, text_col="text", key_col="doc_id", n=3)
-    sigs = dedup.minhash_signatures(sh, key_col="doc_id", num_hashes=32)
-    cands = dedup.lsh_candidate_pairs(sigs, key_col="doc_id", bands=8)
-    return dedup.verified_near_dups(
-        d, cands, text_col="text", key_col="doc_id", threshold=0.7, shingle_n=3
+    return dedup.near_dup_pairs_minhash(
+        d, text_col="text", key_col="doc_id", num_hashes=32, bands=8, threshold=0.7
     )
 
 

@@ -173,3 +173,23 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert ids1 == ids2 and len(ids1) == 10  # deterministic
     # 1-probe recall against exact top-10 is meaningful (same ballpark)
     assert len(set(ids1) & set(exact)) >= 3
+
+
+def test_minhash_composite_equals_naive_composition(spark):
+    """near_dup_pairs_minhash (single shared shingle pass) must produce
+    the exact pairs of the naive shingles→sigs→lsh→verify composition."""
+    from pdf_parser_spark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    composite = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.near_dup_pairs_minhash(d, key_col="doc_id", threshold=0.7).collect()
+    }
+    sh = dedup.shingles(d, key_col="doc_id", n=3)
+    sigs = dedup.minhash_signatures(sh, key_col="doc_id", num_hashes=32)
+    cands = dedup.lsh_candidate_pairs(sigs, key_col="doc_id", bands=8)
+    naive = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.verified_near_dups(d, cands, key_col="doc_id", threshold=0.7).collect()
+    }
+    assert composite == naive and len(composite) > 0
