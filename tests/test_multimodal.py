@@ -86,3 +86,24 @@ def test_summary_rollup(media):
     s = {r["kind"]: r for r in mm.media_summary(mm.media_metadata(media)).collect()}
     assert set(s) == {"image", "audio", "video"}
     assert all(s[k]["items"] > 0 for k in s)
+
+
+def test_media_dedup_end_to_end(spark):
+    """Tier integration: media embeddings feed the embedding near-dup
+    operator — identical payloads surface as cosine-1.0 pairs."""
+    from pdf_parser_spark.operators import dedup
+    from pdf_parser_spark.sources.synth_media import fake_image
+
+    rows = [
+        ("a", "image", fake_image(64, 48, seed=1), "image/fake"),
+        ("b", "image", fake_image(64, 48, seed=1), "image/fake"),   # dup of a
+        ("c", "image", fake_image(64, 48, seed=2), "image/fake"),
+        ("d", "image", fake_image(128, 96, seed=3), "image/fake"),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    emb = mm.media_embeddings(media).where("status = 'ok'").withColumn("bucket", (F.lit(0)))
+    pairs = dedup.embedding_near_dups(
+        emb, key_col="url", vec_col="embedding", bucket_col="bucket", threshold=0.999
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {("a", "b")}

@@ -155,3 +155,17 @@ def test_heading_extractor_fuzz_matches_reference(ref, lines):
         ours = extract_heading(line)
         theirs = detector.extract_heading(line, toc_ids=None, toc_map=None)
         assert ours == theirs, repr(line)
+
+
+content_text = st.lists(line_strategy, min_size=0, max_size=12).map("\n".join)
+
+
+@settings(max_examples=250, deadline=None)
+@given(content_text)
+def test_clean_content_fuzz_matches_reference(ref, text):
+    """N4's replacement ORDER is the byte contract (SURVEY §7 hard-part
+    a) — fuzz the whole chain against the reference Cleaner, including
+    hyphen-wrap joins across line boundaries."""
+    cleaner = ref.chunk.Cleaner()
+    assert core_text.clean_content(text) == cleaner.clean_content(text), repr(text)
+    assert core_text.normalize_sentences(text) == cleaner.normalize_sentences(text), repr(text)
