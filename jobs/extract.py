@@ -48,7 +48,13 @@ def run(
     partitions: int | None = None,
     cpus: int | None = None,
     spark=None,
+    url_buckets: int | None = None,
 ) -> dict:
+    """`url_buckets=N` writes the extracted table partitioned by
+    `url_bucket = pmod(xxhash64(url), N)` — the parquet stand-in for
+    Iceberg's `bucket(N, url)` partition spec: point lookups and the
+    resume anti-join prune to one bucket directory, and downstream
+    url-keyed joins co-locate."""
     spark = spark or get_spark(app_name="extract-job", cpus=cpus)
     out = Path(outdir)
     extracted_path = str(out / "extracted")
@@ -70,7 +76,13 @@ def run(
     todo = ox.salted_repartition(docs, partitions)
     extracted = ox.extract_documents(todo)
     t0 = time.perf_counter()
-    extracted.write.mode("append").parquet(extracted_path)
+    if url_buckets:
+        bucketed = extracted.withColumn(
+            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(url_buckets))
+        )
+        bucketed.write.mode("append").partitionBy("url_bucket").parquet(extracted_path)
+    else:
+        extracted.write.mode("append").parquet(extracted_path)
     wall = time.perf_counter() - t0
 
     # side tables re-read the just-written batch so every stage is
@@ -108,8 +120,12 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--url-buckets", type=int, default=None)
     args = ap.parse_args()
-    summary = run(args.input, args.outdir, args.resume, args.partitions, args.cpus)
+    summary = run(
+        args.input, args.outdir, args.resume, args.partitions, args.cpus,
+        url_buckets=args.url_buckets,
+    )
     print(json.dumps(summary))
 
 

@@ -52,22 +52,23 @@ def clean_heading_title_native(title: "F.Column") -> "F.Column":
     return F.regexp_replace(t, r"^\s+|\s+$", "")
 
 
+# union of the four noise families — ONE regex scan per string instead
+# of four; inline-scoped (?i:) keeps per-pattern case rules intact
+_NOISE_UNION_RX = (
+    r"(?:[.·•]{3,})"
+    r"|(?:(?:\b[A-Za-z]\b[.\s]*){6,})"
+    r"|(?i:P\s*a\s*g\s*e\s*\d+)"
+    r"|(?i:Universal Serial Bus Power Delivery Specification)"
+)
+
+
 def heading_is_noisy_native(line: "F.Column", title: "F.Column") -> "F.Column":
     """Boolean noise predicate (chunk.py:144-152 + utils.py:232-245).
 
     Mirrors the reference quirk of passing the *title* as both num and
     title into the plausibility check (num=="0" tests the title).
     """
-    noise_any = (
-        line.rlike(_DOT_RUN_RX)
-        | title.rlike(_DOT_RUN_RX)
-        | line.rlike(_ISOLATED_RX)
-        | title.rlike(_ISOLATED_RX)
-        | line.rlike(_NOISY_PAGE_RX)
-        | title.rlike(_NOISY_PAGE_RX)
-        | line.rlike(_BRAND_RX)
-        | title.rlike(_BRAND_RX)
-    )
+    noise_any = line.rlike(_NOISE_UNION_RX) | title.rlike(_NOISE_UNION_RX)
     folded = F.lower(F.regexp_replace(title, r"[\s.\-·•_]", ""))
     running_header = (
         folded.contains("universalserialbuspowerdeliveryspecification")

@@ -52,3 +52,26 @@ def test_resume_extracts_only_remainder(spark, tmp_path):
     ex = spark.read.parquet(str(Path(out) / "extracted"))
     assert ex.select("url").distinct().count() == 20
     assert ex.count() == 20
+
+
+def test_bucketed_output_prunes_lookups(spark, tmp_path):
+    """url_buckets=N → bucket(N, url)-style layout: a point lookup's
+    scan carries a PartitionFilters entry on url_bucket and reads one
+    bucket directory; resume still works over the partitioned table."""
+    from pyspark.sql import functions as F
+
+    corpus = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "outb")
+    write_documents(synthetic_documents(spark, 20, seed=42), corpus)
+    first = run_job(corpus, out, resume=False, spark=spark, url_buckets=8)
+    assert first["newly_extracted"] == 20
+
+    ex = spark.read.parquet(str(Path(out) / "extracted"))
+    url = ex.select("url").first()["url"]
+    bucket = ex.where(F.col("url") == url).select("url_bucket").first()["url_bucket"]
+    lookup = ex.where(F.col("url_bucket") == bucket)
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "url_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+    second = run_job(corpus, out, resume=True, spark=spark, url_buckets=8)
+    assert second["newly_extracted"] == 0 and second["total_extracted"] == 20
