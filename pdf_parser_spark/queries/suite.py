@@ -1212,3 +1212,91 @@ def q40(spark, sf):
         "event_id", "user_id",
         F.coalesce(us - last_purchase, F.lit(-1)).alias("us_since_purchase"),
     )
+
+
+@register(
+    "q41_event_unpivot",
+    """
+    SELECT user_id, kind, cnt FROM (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      FROM events GROUP BY user_id)
+    UNPIVOT (cnt FOR kind IN (click, view))
+    """,
+)
+def q41(spark, sf):
+    """Unpivot (stack) the per-user count matrix back to long form —
+    pivot and unpivot round-trip the same hash agg."""
+    e = _t(spark, sf, "events")
+    wide = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("view"),
+    )
+    return wide.selectExpr(
+        "user_id", "stack(2, 'click', click, 'view', view) as (kind, cnt)"
+    )
+
+
+@register(
+    "q42_value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q42(spark, sf):
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`, both linear interpolation on the sorted
+    set — deterministic, unlike the approx sketches)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q43_above_nation_average",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_above
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q43(spark, sf):
+    """Correlated-aggregate filter (customers above their nation's
+    average balance) — decorrelated into a window avg + filter, the
+    plan Catalyst produces for the subquery form too."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey")
+    nation_avg = F.avg(F.col("c_acctbal").cast(_DEC2)).over(w)
+    return (
+        c.withColumn("nation_avg", nation_avg)
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@register(
+    "q44_active_customer_ids",
+    """
+    SELECT user_id AS id FROM events
+    INTERSECT
+    SELECT c_custkey FROM customer
+    ORDER BY id
+    """,
+)
+def q44(spark, sf):
+    """Set intersection: event actors that are also customers
+    (INTERSECT = distinct semi-join under the hood)."""
+    e = _t(spark, sf, "events").select(F.col("user_id").alias("id"))
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    return e.intersect(c).orderBy("id")
