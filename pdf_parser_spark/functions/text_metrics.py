@@ -91,6 +91,16 @@ def stopword_ratio(col: Column, stopwords: tuple[str, ...] = ("the", "and", "of"
     return F.when(token_count(col) == 0, F.lit(0.0)).otherwise(hits / token_count(col))
 
 
+def portable_hash64(col: Column, seed: int = 0) -> Column:
+    """64-bit-ish hash replayable in ANSI SQL: first 15 hex chars of
+    md5(s || '#' || seed) as a base-16 number (60 bits, non-negative).
+    DuckDB equivalent: ('0x' || substr(md5(s || '#' || seed), 1, 15))::BIGINT.
+    Slower than xxhash64 (JVM md5 + string conv) — used where the
+    DuckDB oracle must replay the hash; the hot path keeps xxhash64."""
+    seeded = F.concat(col, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of casefolded,
     whitespace-collapsed text (portable to any engine with md5)."""

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text_metrics import fingerprint, word_array
+from ..functions.text_metrics import fingerprint, portable_hash64, word_array
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
@@ -65,7 +65,10 @@ def shingles(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: 
 
 
 def minhash_signatures(
-    shingle_df: DataFrame, key_col: str = "doc_id", num_hashes: int = 32
+    shingle_df: DataFrame,
+    key_col: str = "doc_id",
+    num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """(key, signature array<long>) — min over xxhash64(shingle, seed)
     per seed.
@@ -75,9 +78,10 @@ def minhash_signatures(
     explode (k× less shuffle input than the exploded form), full
     map-side partial aggregation, seeds constant so every hash stays
     codegen'd. Same signatures bit-for-bit."""
+    hash_fn = portable_hash64 if portable else (lambda c, seed: F.xxhash64(c, F.lit(seed)))
     hashed = shingle_df.select(
         key_col,
-        *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+        *[hash_fn(F.col("shingle"), i).alias(f"h{i}") for i in range(num_hashes)],
     )
     mins = [F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
     return (
@@ -92,6 +96,7 @@ def lsh_candidate_pairs(
     key_col: str = "doc_id",
     bands: int = 8,
     max_bucket_size: int | None = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on any full band become a candidate
     pair. Equi-join per band → shuffle on (band, band_hash) only.
@@ -105,6 +110,7 @@ def lsh_candidate_pairs(
     costs one extra hash agg on the already-shuffled (band, band_hash)
     key (co-partitioned, map-side combined).
     """
+    band_hash_fn = (lambda c: portable_hash64(c, 0)) if portable else F.xxhash64
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = signatures.select(
         key_col,
@@ -113,7 +119,7 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    band_hash_fn(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -198,8 +204,13 @@ def near_dup_pairs_minhash(
     threshold: float = 0.8,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash near-dup pipeline sharing ONE shingle pass.
+
+    `portable=True` swaps xxhash64 for the md5-derived portable hash
+    so an ANSI-SQL oracle can replay the whole pipeline value-for-value
+    (slower; the default stays xxhash64 for production).
 
     The naive composition (minhash_signatures(shingles(df)) +
     verified_near_dups(df, ...)) re-tokenizes the corpus twice; here
@@ -211,9 +222,12 @@ def near_dup_pairs_minhash(
     """
     sets_df = shingle_sets(df, text_col, key_col, n=shingle_n)
     exploded = sets_df.select(key_col, F.explode("sh").alias("shingle"))
-    sigs = minhash_signatures(exploded, key_col=key_col, num_hashes=num_hashes)
+    sigs = minhash_signatures(
+        exploded, key_col=key_col, num_hashes=num_hashes, portable=portable
+    )
     cands = lsh_candidate_pairs(
-        sigs, key_col=key_col, bands=bands, max_bucket_size=max_bucket_size
+        sigs, key_col=key_col, bands=bands, max_bucket_size=max_bucket_size,
+        portable=portable,
     )
     a = sets_df.select(F.col(key_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col(key_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -1300,3 +1300,95 @@ def q44(spark, sf):
     e = _t(spark, sf, "events").select(F.col("user_id").alias("id"))
     c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
     return e.intersect(c).orderBy("id")
+
+
+# =====================================================================
+# Fully-oracled MinHash near-dup pipeline (portable md5-derived hash)
+# =====================================================================
+
+_P_HASHES = 16
+_P_BANDS = 4
+
+
+def _sql_phash(expr: str, seed: int) -> str:
+    return f"('0x' || substr(md5({expr} || '#{seed}'), 1, 15))::BIGINT"
+
+
+def _q45_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN({_sql_phash('shingle', i)}) AS m{i}" for i in range(_P_HASHES)
+    )
+    rpb = _P_HASHES // _P_BANDS
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {expr} AS bandstr FROM h".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"m{b * rpb + j}::VARCHAR" for j in range(rpb)
+            ),
+        )
+        for b in range(_P_BANDS)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+g AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(0, greatest(len(ws) - 3, 0)),
+             i -> array_to_string(ws[i + 1 : i + 3], ' ')))) AS shingle
+    FROM words)
+  WHERE shingle <> ''
+),
+h AS (
+  SELECT doc_id,
+         {mins}
+  FROM g GROUP BY doc_id
+),
+banded_raw AS (
+{band_rows}
+),
+banded AS (
+  SELECT doc_id, band, {_sql_phash('bandstr', 0)} AS band_hash FROM banded_raw
+),
+ok AS (
+  SELECT band, band_hash FROM banded GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+),
+bb AS (
+  SELECT b.* FROM banded b JOIN ok USING (band, band_hash)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.band_hash = b.band_hash
+                      AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nw FROM g GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+  FROM cand c
+    JOIN g ga ON ga.doc_id = c.id_a
+    JOIN g gb ON gb.doc_id = c.id_b AND gb.shingle = ga.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.ni AS DOUBLE) / (sa.nw + sb.nw - i.ni), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.ni AS DOUBLE) / (sa.nw + sb.nw - i.ni) >= 0.7
+"""
+
+
+@register("q45_minhash_portable", _q45_oracle())
+def q45(spark, sf):
+    """The ENTIRE MinHash→LSH→verify near-dup pipeline value-checked
+    against SQL: the portable md5-derived hash lets DuckDB replay
+    shingling, 16-seed signatures, 4-band bucketing (with the
+    hot-bucket cap), candidate pairing and Jaccard verification."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.near_dup_pairs_minhash(
+        d, text_col="text", key_col="doc_id",
+        num_hashes=_P_HASHES, bands=_P_BANDS, threshold=0.7, portable=True,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
