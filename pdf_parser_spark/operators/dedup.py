@@ -241,7 +241,13 @@ def near_dup_pairs_minhash(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 32,
+    portable: bool = False,
+) -> DataFrame:
     """Sign-of-sum SimHash over distinct words (native bit ops).
 
     Per bit i the ±1 sum s_i equals 2·(ones_i) - n, so the agg is a
@@ -250,7 +256,8 @@ def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits
     words = df.select(
         key_col, F.explode(F.array_distinct(word_array(F.col(text_col)))).alias("w")
     ).where(F.col("w") != "")
-    hashed = words.select(key_col, F.xxhash64("w").alias("h"))
+    word_hash = portable_hash64(F.col("w"), 0) if portable else F.xxhash64("w")
+    hashed = words.select(key_col, word_hash.alias("h"))
     ones = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(bits)

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text_metrics import portable_hash64
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -61,26 +63,42 @@ def cosine_topk(
 
 
 def rhp_buckets(
-    emb: DataFrame, bits: int = 8, seed: int = 7, vec_col: str = "embedding", dims: int | None = None
+    emb: DataFrame,
+    bits: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket per row.
 
     Plane weights are pseudo-random ±1 derived from xxhash64(dim, bit,
     seed) — deterministic, nothing to broadcast, recomputable on both
     sides of any join. bucket = Σ_b [dot(v, plane_b) > 0] << b.
+    `portable=True` derives the signs from the md5-based portable hash
+    so an ANSI-SQL oracle can replay the bucketing (q46).
     """
+
+    def weight(i, b):
+        if portable:
+            key = F.concat(i.cast("string"), F.lit(f"#{b}"))
+            parity = F.pmod(portable_hash64(key, seed), F.lit(2)) == 1
+        else:
+            parity = F.xxhash64(i, F.lit(b), F.lit(seed)).bitwiseAND(F.lit(1)) == 1
+        return F.when(parity, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def plane(b: int):
+        # NB: the transform lambda must be UNARY — a two-arg lambda is
+        # interpreted by Spark as (element, index) and the second
+        # parameter silently becomes the index column
+        return lambda i: weight(i, b)
+
     bucket = F.lit(0)
     for b in range(bits):
         proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec_col) - 1),
-                    lambda i: F.when(
-                        F.xxhash64(i, F.lit(b), F.lit(seed)).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
+                F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1), plane(b)),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),
@@ -98,6 +116,7 @@ def ann_topk(
     seed: int = 7,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only the query's LSH bucket.
 
@@ -105,11 +124,13 @@ def ann_topk(
     column — at scale, store `bucket` as a partition/cluster key and
     the probe prunes to ~n/2^bits rows.
     """
-    bucketed = rhp_buckets(emb, bits=bits, seed=seed, vec_col=vec_col)
+    bucketed = rhp_buckets(emb, bits=bits, seed=seed, vec_col=vec_col, portable=portable)
     # compute the query's bucket with the same expression on a 1-row DF
     spark = emb.sparkSession
     qdf = spark.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col}: array<float>")
-    qbucket = rhp_buckets(qdf, bits=bits, seed=seed, vec_col=vec_col).collect()[0]["bucket"]
+    qbucket = rhp_buckets(qdf, bits=bits, seed=seed, vec_col=vec_col, portable=portable).collect()[0][
+        "bucket"
+    ]
     return cosine_topk(
         bucketed.where(F.col("bucket") == qbucket), query_vec, k=k, key_col=key_col, vec_col=vec_col
     )

@@ -1392,3 +1392,101 @@ def q45(spark, sf):
         num_hashes=_P_HASHES, bands=_P_BANDS, threshold=0.7, portable=True,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# =====================================================================
+# Portable-hash oracles for the remaining blocked-similarity ops
+# =====================================================================
+
+
+def _sql_plane(b: int, seed: int = 7) -> str:
+    h = f"('0x' || substr(md5(i::VARCHAR || '#{b}' || '#{seed}'), 1, 15))::BIGINT"
+    return (
+        "list_transform(generate_series(0, 63), "
+        f"i -> CASE WHEN {h} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def _q46_oracle() -> str:
+    bucket_of = lambda v: " + ".join(
+        f"(CASE WHEN list_dot_product({v}, w{b}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(4)
+    )
+    planes = ", ".join(f"{_sql_plane(b)} AS w{b}" for b in range(4))
+    return f"""
+WITH q AS (SELECT {_SQL_QVEC} AS qv),
+w AS (SELECT {planes}),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+scored AS (
+  SELECT vec_id, v, {bucket_of('v')} AS bucket FROM base, w
+),
+qb AS (SELECT {bucket_of('qv')} AS qbucket FROM q, w)
+SELECT vec_id, ROUND(cos_raw, 4) + 0.0 AS cosine FROM (
+  SELECT s.vec_id,
+         list_dot_product(s.v, q.qv)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(s.v, s.v))) AS cos_raw
+  FROM scored s, qb, q WHERE s.bucket = qb.qbucket)
+ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+
+
+@register("q46_ann_topk_portable", _q46_oracle())
+def q46(spark, sf):
+    """LSH-bucketed ANN with SQL-replayable plane signs: DuckDB
+    recomputes the 4-bit random-hyperplane bucket per row AND the
+    query's bucket, probes the same subset, and the top-10 must match
+    value-for-value."""
+    e = _t(spark, sf, "embeddings")
+    out = sim.ann_topk(
+        e, _QVEC, k=10, bits=4, seed=7, key_col="vec_id", vec_col="embedding", portable=True
+    )
+    return out.select("vec_id", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"))
+
+
+def _q47_oracle() -> str:
+    h = "('0x' || substr(md5(w || '#0'), 1, 15))::BIGINT"
+    bit_sums = ",\n         ".join(f"SUM((h >> {i}) & 1) AS b{i}" for i in range(32))
+    sig = " + ".join(
+        f"(CASE WHEN 2 * b{i} > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+h AS (SELECT doc_id, {h} AS h FROM words),
+bits AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {sig} AS s FROM bits),
+banded AS (
+  SELECT doc_id, s, b.band, (s >> (b.band * 8)) & 255 AS piece
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+),
+ok AS (SELECT band, piece FROM banded GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+bb AS (SELECT banded.* FROM banded JOIN ok USING (band, piece)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM bb a JOIN bb b ON a.band = b.band AND a.piece = b.piece AND a.doc_id < b.doc_id
+)
+SELECT CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming, COUNT(*) AS n_pairs
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q47_simhash_portable", _q47_oracle())
+def q47(spark, sf):
+    """SimHash near-dup histogram with the portable word hash: DuckDB
+    replays the 32 bit-majority sums, the 8-bit band pieces (with the
+    hot-bucket cap), the Hamming filter, and the per-distance counts."""
+    d = _t(spark, sf, "documents")
+    s = dedup.simhash(d, text_col="text", key_col="doc_id", bits=32, portable=True)
+    pairs = dedup.simhash_near_dups(s, key_col="doc_id", max_hamming=6, bits=32, bands=4)
+    return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs")).orderBy("hamming")
