@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--outdir")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
+    # reference run.py / run.pyc knobs (--min-dots, --strip-dot-leaders,
+    # --fuzzy-threshold, --prefer-section-id), corpus-level here
+    ap.add_argument("--min-dots", type=int, default=0)
+    ap.add_argument("--strip-dot-leaders", action="store_true")
+    ap.add_argument("--fuzzy-threshold", type=float, default=0.90)
+    ap.add_argument("--prefer-section-id", action="store_true", default=True)
+    ap.add_argument("--no-prefer-section-id", dest="prefer_section_id", action="store_false")
     args = ap.parse_args(argv)
 
     from .plans.session import get_spark
@@ -52,7 +59,11 @@ def main(argv: list[str] | None = None) -> None:
     from .sources.corpus import read_documents
 
     if args.command in ("toc", "chunk", "metrics"):
-        extracted = ox.extract_documents(read_documents(spark, args.input))
+        extracted = ox.extract_documents(
+            read_documents(spark, args.input),
+            min_dots=args.min_dots,
+            strip_dots=args.strip_dot_leaders,
+        )
         table = {"toc": ox.toc_table, "chunk": ox.chunks_table, "metrics": ox.metrics_table}[
             args.command
         ](extracted)
@@ -61,7 +72,12 @@ def main(argv: list[str] | None = None) -> None:
     elif args.command == "validate":
         from .operators.validate_dist import validate_distributed
 
-        v = validate_distributed(spark.read.parquet(args.toc), spark.read.parquet(args.chunks))
+        v = validate_distributed(
+            spark.read.parquet(args.toc),
+            spark.read.parquet(args.chunks),
+            fuzzy_threshold=args.fuzzy_threshold,
+            prefer_section_id=args.prefer_section_id,
+        )
         v.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"command": "validate", "rows": spark.read.parquet(args.out).count()}))
     elif args.command == "report":
