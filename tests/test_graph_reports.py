@@ -79,3 +79,31 @@ def test_report_sinks_roundtrip(spark, tmp_path):
     back = spark.read.json(str(tmp_path / "toc_jsonl"))
     assert back.count() == ox.toc_table(extracted).count()
     extracted.unpersist()
+
+
+def test_lenient_jsonl_reader_accounts_corrupt_lines(spark, tmp_path):
+    """S3: PERMISSIVE schema-on-read surfaces malformed lines as rows
+    (the reference silently skips them); reference golden JSONL loads
+    clean end-to-end."""
+    from pdf_parser_spark.sources import jsonl as jl
+
+    p = tmp_path / "toc.jsonl"
+    p.write_text(
+        '{"doc_title": "d", "section_id": "1", "title": "Intro", "page": 4, '
+        '"level": 1, "parent_id": null, "full_path": "1 Intro"}\n'
+        "this is not json\n"
+        '{"doc_title": "d", "section_id": "2", "title": "Body", "page": 5, '
+        '"level": 1, "parent_id": null, "full_path": "2 Body"}\n'
+        '{"broken": \n'
+    )
+    good, bad = jl.read_toc_jsonl(spark, str(p))
+    assert good.count() == 2
+    assert {r["section_id"] for r in good.collect()} == {"1", "2"}
+    assert bad.count() == 2  # accountable, not silently dropped
+
+    # the reference's own committed artifact parses 100% clean
+    ref = "/root/reference/data/output/usb_pd_toc.jsonl"
+    import os
+    if os.path.exists(ref):
+        g2, b2 = jl.read_toc_jsonl(spark, ref)
+        assert g2.count() == 299 and b2.count() == 0
