@@ -175,3 +175,85 @@ def test_clean_content_fuzz_matches_reference(ref, text):
     cleaner = ref.chunk.Cleaner()
     assert core_text.clean_content(text) == cleaner.clean_content(text), repr(text)
     assert core_text.normalize_sentences(text) == cleaner.normalize_sentences(text), repr(text)
+
+
+# --- matcher fuzz vs the reference Validator --------------------------
+
+sid_strategy = st.one_of(
+    st.from_regex(r"[0-9]{1,2}(\.[0-9]{1,2}){0,2}", fullmatch=True),
+    st.from_regex(r"[A-Z](\.[0-9]{1,2}){0,1}", fullmatch=True),
+)
+short_title = st.text(alphabet="abc XYZ01ﬁ–.", min_size=1, max_size=16)
+
+
+@st.composite
+def matcher_case(draw):
+    sids = draw(st.lists(sid_strategy, min_size=0, max_size=10, unique=True))
+    toc = [
+        {
+            "doc_title": "d", "section_id": s, "title": draw(short_title),
+            "page": draw(st.integers(1, 40)), "level": s.count(".") + 1,
+            "parent_id": None, "full_path": f"{s} t",
+        }
+        for s in sids
+    ]
+    # chunks: a mangled subset of the toc (drops, dupes, strays)
+    chunks = []
+    for t in toc:
+        if draw(st.booleans()):
+            title = t["title"] if draw(st.booleans()) else draw(short_title)
+            chunks.append(
+                {
+                    "section_path": f"{t['section_id']} {title}",
+                    "start_heading": f"{t['section_id']} {title}",
+                    "content": draw(short_title),
+                    "tables": [], "figures": [],
+                    "page_range": [t["page"], t["page"] + 1],
+                }
+            )
+    if draw(st.booleans()):
+        chunks.append(
+            {
+                "section_path": "99 stray", "start_heading": "99 stray",
+                "content": "stray", "tables": ["Table 9"], "figures": [],
+                "page_range": [1, 2],
+            }
+        )
+    return toc, chunks
+
+
+@settings(max_examples=120, deadline=None)
+@given(matcher_case())
+def test_matcher_fuzz_matches_reference(ref, tmp_path_factory, case):
+    """core matching (J1-J5 exact + greedy fuzzy + W7 order check) ≡
+    the reference Validator, fed through the same JSONL load path."""
+    import json as _json
+
+    from pdf_parser_spark.core import matching
+
+    toc, chunks = case
+    work = tmp_path_factory.mktemp("m")
+    (work / "toc.jsonl").write_text(
+        "\n".join(_json.dumps(t, ensure_ascii=False) for t in toc)
+    )
+    (work / "chunks.jsonl").write_text(
+        "\n".join(_json.dumps(c, ensure_ascii=False) for c in chunks)
+    )
+
+    validator = ref.validate.Validator()
+    toc_v = validator.load_toc(str(work / "toc.jsonl"))
+    chunks_v = validator.load_chunks(str(work / "chunks.jsonl"))
+    missing, extra, ooo, matched = validator.match_sections(toc_v, chunks_v)
+
+    ours = matching.validation_report(
+        matching.load_toc_records(toc),
+        [matching.coerce_chunk_record(c) for c in chunks],
+        fuzzy_threshold=0.90,
+        prefer_section_id=True,
+    )
+    assert ours["missing_sections"] == missing, (toc, chunks)
+    assert ours["extra_sections"] == extra
+    assert ours["out_of_order_sections"] == ooo
+    assert ours["matched_sections"] == matched
+    assert ours["toc_section_count"] == len(toc_v)
+    assert ours["parsed_section_count"] == len(chunks_v)
