@@ -383,3 +383,52 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    character k-gram, keep the MINIMUM hash of each sliding window of
+    `window` hashes, emit the distinct selected hashes as (key, fp)
+    rows.
+
+    Guarantees: any shared substring of length >= k + window - 1
+    yields at least one shared fingerprint — the local plagiarism/
+    near-copy detector the whole-text md5 fingerprint cannot provide.
+    All native exprs (substring/transform/slice/array_min), one
+    explode; hashes use the md5-derived portable hash so the SQL
+    oracle replays the selection exactly (q48).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(text_col)
+    n = F.length(s)
+    m = F.greatest(n - k + 1, F.lit(1))  # number of k-gram positions
+    # positions as ROWS (codegen'd md5 per row) — a transform() HOF
+    # evaluates the hash chain interpreted per element, ~100× slower
+    pos_rows = df.select(
+        F.col(key_col),
+        m.alias("m"),
+        F.explode(F.sequence(F.lit(1), m)).alias("pos"),
+        s.alias("_s"),
+    )
+    gram = F.substring(F.col("_s"), F.col("pos"), k)
+    h = F.conv(F.substring(F.md5(F.concat(gram, F.lit("#0"))), 1, 15), 16, 10).cast("long")
+    hashed = pos_rows.select(key_col, "m", "pos", h.alias("h"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    mins = hashed.select(
+        key_col,
+        "pos",
+        "m",
+        F.min("h").over(w).alias("fp"),
+    ).where(F.col("pos") <= F.greatest(F.col("m") - window + 1, F.lit(1)))
+    return mins.select(key_col, "fp").distinct()

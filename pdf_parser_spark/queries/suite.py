@@ -1490,3 +1490,33 @@ def q47(spark, sf):
     s = dedup.simhash(d, text_col="text", key_col="doc_id", bits=32, portable=True)
     pairs = dedup.simhash_near_dups(s, key_col="doc_id", max_hamming=6, bits=32, bands=4)
     return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs")).orderBy("hamming")
+
+
+@register(
+    "q48_winnowed_fingerprints",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(text) - 8 + 1, 1)),
+               i -> ('0x' || substr(md5(substr(text, i, 8) || '#0'), 1, 15))::BIGINT
+             ) AS hs
+      FROM documents
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 4 + 1, 1)),
+               j -> list_min(hs[j : j + 3])
+             )) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM sel
+    """,
+)
+def q48(spark, sf):
+    """Rolling-hash winnowing fingerprints (k=8 char-grams, window=4):
+    the SQL oracle replays the k-gram hashing, sliding-window minimum
+    selection and dedup value-for-value."""
+    d = _t(spark, sf, "documents")
+    return dedup.winnowed_fingerprints(d, text_col="text", key_col="doc_id", k=8, window=4)

@@ -193,3 +193,28 @@ def test_minhash_composite_equals_naive_composition(spark):
         for r in dedup.verified_near_dups(d, cands, key_col="doc_id", threshold=0.7).collect()
     }
     assert composite == naive and len(composite) > 0
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing invariant: texts sharing a substring of length
+    >= k + window - 1 share at least one fingerprint."""
+    from pyspark.sql import Row
+    from pdf_parser_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="AAAA " + shared + " BBBB"),
+            Row(doc_id=2, text="cccccc " + shared + " dddd"),
+            Row(doc_id=3, text="completely unrelated words entirely"),
+        ]
+    )
+    fps = dedup.winnowed_fingerprints(df, k=8, window=4)
+    sets = {
+        r["doc_id"]: set(r["fps"])
+        for r in fps.groupBy("doc_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["collect_set"]).collect_set("fp").alias("fps")
+        ).collect()
+    }
+    assert sets[1] & sets[2], "shared substring must yield a shared fingerprint"
+    assert not (sets[1] & sets[3]) or len(sets[1] & sets[3]) < len(sets[1] & sets[2])
