@@ -116,3 +116,35 @@ def quality_score(col: Column) -> Column:
     punct_ok = F.when(punct_ratio(col) < 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
     stop_ok = F.when(stopword_ratio(col) > 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
     return (length_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+# characteristic character trigrams per language (char-n-gram LID — the
+# complementary heuristic to the marker-word counts above; both are
+# plain substring counts, so both replay in ANSI SQL)
+CHAR_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and"),
+    "es": ("ión", "ado", "que"),
+    "de": ("der", "sch", "ein"),
+}
+
+
+def trigram_hits(col: Column, lang: str) -> Column:
+    """Total occurrences of a language's characteristic char-trigrams
+    (no word-boundary padding — substring semantics)."""
+    low = F.lower(col)
+    total = F.lit(0)
+    for g in CHAR_TRIGRAMS[lang]:
+        total = total + substring_occurrences(low, g)
+    return total
+
+
+def language_guess_ngram(col: Column) -> Column:
+    """Argmax of char-trigram hits; 'und' when nothing matches.
+    Tie-break prefers earlier languages (en > es > de), mirroring
+    language_guess."""
+    hits = {lang: trigram_hits(col, lang) for lang in CHAR_TRIGRAMS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(hits)):
+        expr = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr

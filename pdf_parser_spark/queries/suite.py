@@ -1520,3 +1520,39 @@ def q48(spark, sf):
     selection and dedup value-for-value."""
     d = _t(spark, sf, "documents")
     return dedup.winnowed_fingerprints(d, text_col="text", key_col="doc_id", k=8, window=4)
+
+
+def _sql_trigram_hits(lang: str) -> str:
+    terms = [_sql_occurrences("low", g) for g in tm.CHAR_TRIGRAMS[lang]]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q49_char_ngram_lang_id",
+    f"""
+    WITH base AS (SELECT doc_id, lang, lower(text) AS low FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             {_sql_trigram_hits('en')} AS h_en,
+             {_sql_trigram_hits('es')} AS h_es,
+             {_sql_trigram_hits('de')} AS h_de
+      FROM base
+    )
+    SELECT lang,
+           CASE WHEN greatest(h_en, h_es, h_de) > 0 AND h_en = greatest(h_en, h_es, h_de) THEN 'en'
+                WHEN greatest(h_en, h_es, h_de) > 0 AND h_es = greatest(h_en, h_es, h_de) THEN 'es'
+                WHEN greatest(h_en, h_es, h_de) > 0 AND h_de = greatest(h_en, h_es, h_de) THEN 'de'
+                ELSE 'und' END AS guess,
+           COUNT(*) AS n
+    FROM h GROUP BY 1, 2
+    """,
+)
+def q49(spark, sf):
+    """Char-trigram language ID (the n-gram complement of the
+    marker-word heuristic): guess distribution vs the labeled lang."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", tm.language_guess_ngram(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
