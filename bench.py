@@ -23,36 +23,36 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pdf_parser_spark.plans.session import get_spark  # noqa: E402
-from pdf_parser_spark.queries.suite import SPARK_QUERIES  # noqa: E402
+from pdf_parser_spark.queries.suite import BENCH_QUERIES, SPARK_QUERIES  # noqa: E402
 
-HEADLINE = [
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q03_nation_revenue",
-    "q04_bulk_parts_semi",
-    "q05_customers_without_orders",
-    "q08_top_orders_per_customer",
-    "q09_event_gaps",
-    "q12_event_hourly",
-    "q14_toc_parse",
-    "q15_toc_parent_repair",
-    "q16_toc_sort_rank",
-    "q17_chunk_bounds",
-    "q18_chunk_page_gather",
-    "q19_heading_extract",
-    "q20_caption_lists",
-    "q21_validation_counts",
-    "q25_exact_duplicates",
-    "q26_blocked_jaccard_pairs",
-    "q27_text_features",
-    "q28_quality_summary",
-    "q29_word_topk",
-    "q30_cosine_topk",
-    "q31_centroids",
-    "q32_embedding_near_dups",
-    "q33_minhash_lsh_pairs",
-    "q34_simhash_near_dups",
-]
+ALL_QUERIES = {**SPARK_QUERIES, **BENCH_QUERIES}
+
+# Every registered query — contract queries plus the bench-only
+# xxhash64 twins — so a regression in ANY operator shows up in the
+# per-round delta (VERDICT r1 flagged the q36-q49 blind spot).
+HEADLINE = sorted(ALL_QUERIES)
+
+
+def _prev_round_timings() -> dict[str, float]:
+    """Latest BENCH_r*.json queries dict (driver wraps our line in
+    {'tail': ...}; the JSON line is embedded at the end of tail)."""
+    import re
+
+    here = Path(__file__).resolve().parent
+    paths = sorted(here.glob("BENCH_r*.json"))
+    if not paths:
+        return {}
+    try:
+        blob = json.loads(paths[-1].read_text())
+        if isinstance(blob, dict) and "queries" in blob:
+            return blob["queries"]
+        tail = blob.get("tail", "") if isinstance(blob, dict) else ""
+        m = re.search(r'\{"metric".*\}', tail)
+        if m:
+            return json.loads(m.group(0)).get("queries", {})
+    except (json.JSONDecodeError, OSError):
+        pass
+    return {}
 
 
 def _force(df) -> None:
@@ -74,7 +74,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        _force(SPARK_QUERIES[name](spark, sf_dir))
+        _force(ALL_QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # end-to-end extraction pipeline (the BASELINE.json north metric is
@@ -101,6 +101,19 @@ def main() -> None:
         extract_sec = min(extract_sec, time.perf_counter() - t0)
     timings["extract_pipeline"] = round(extract_sec, 3)
 
+    # per-query delta vs the previous round, human table on stderr so
+    # stdout stays the single driver-contract JSON line
+    prev = _prev_round_timings()
+    if prev:
+        print(f"{'query':<34}{'prev':>8}{'now':>8}{'delta':>8}", file=sys.stderr)
+        for name in HEADLINE + ["extract_pipeline"]:
+            if name in timings and name in prev:
+                d = timings[name] - prev[name]
+                print(
+                    f"{name:<34}{prev[name]:>8.3f}{timings[name]:>8.3f}{d:>+8.3f}",
+                    file=sys.stderr,
+                )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     print(
@@ -115,6 +128,9 @@ def main() -> None:
                     "cpus": cpus,
                     "extract_docs": n_docs,
                     "extract_docs_per_sec": round(n_docs / extract_sec, 2),
+                    "delta_vs_prev_sec": {
+                        k: round(timings[k] - prev[k], 3) for k in timings if k in prev
+                    },
                 },
             }
         )

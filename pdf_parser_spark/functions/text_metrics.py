@@ -108,14 +108,21 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized)
 
 
+def quality_points(col: Column) -> Column:
+    """Integer quality points 0..3: length ok, punctuation ok, stopword
+    density ok. Exact int — aggregate this (order-insensitive), then
+    divide once, instead of averaging the per-row double score."""
+    toks = token_count(col)
+    length_ok = F.when((toks >= 5) & (toks <= 100000), F.lit(1)).otherwise(F.lit(0))
+    punct_ok = F.when(punct_ratio(col) < 0.3, F.lit(1)).otherwise(F.lit(0))
+    stop_ok = F.when(stopword_ratio(col) > 0.01, F.lit(1)).otherwise(F.lit(0))
+    return length_ok + punct_ok + stop_ok
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: penalize extreme length,
     high punctuation, low stopword density (webtext filtering)."""
-    toks = token_count(col)
-    length_ok = F.when((toks >= 5) & (toks <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct_ratio(col) < 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
-    stop_ok = F.when(stopword_ratio(col) > 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
-    return (length_ok + punct_ok + stop_ok) / F.lit(3.0)
+    return quality_points(col) / F.lit(3.0)
 
 
 # characteristic character trigrams per language (char-n-gram LID — the

@@ -391,6 +391,7 @@ def winnowed_fingerprints(
     key_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    segment: int = 512,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     character k-gram, keep the MINIMUM hash of each sliding window of
@@ -400,35 +401,70 @@ def winnowed_fingerprints(
     Guarantees: any shared substring of length >= k + window - 1
     yields at least one shared fingerprint — the local plagiarism/
     near-copy detector the whole-text md5 fingerprint cannot provide.
-    All native exprs (substring/transform/slice/array_min), one
-    explode; hashes use the md5-derived portable hash so the SQL
-    oracle replays the selection exactly (q48).
+    All native exprs (substring/sequence/md5), hashes use the
+    md5-derived portable hash so the SQL oracle replays the selection
+    exactly (q48).
+
+    Scale shape (VERDICT r1 item 4): hashing every k-gram is inherent
+    to winnowing, but the r1 version pushed every character position of
+    a document through ONE per-doc window sort — a 1 MB doc serialized
+    10^6 rows into a single task. This version splits each document
+    into fixed `segment`-char spans first (carrying only the segment
+    substring + a (k+window-2)-char lookahead, never the whole text),
+    so the window-min runs over bounded (key, seg_id) groups: mega-doc
+    skew is structurally impossible and sort memory is O(segment) per
+    group. Selection is bit-identical to the unsegmented form because
+    each segment's context rows reproduce the global sliding window at
+    the boundary.
     """
     from pyspark.sql import Window
 
     s = F.col(text_col)
     n = F.length(s)
     m = F.greatest(n - k + 1, F.lit(1))  # number of k-gram positions
-    # positions as ROWS (codegen'd md5 per row) — a transform() HOF
-    # evaluates the hash chain interpreted per element, ~100× slower
-    pos_rows = df.select(
+    seg = int(segment)
+    if seg < window:
+        raise ValueError("segment must be >= window")
+    # segment explode: one row per `seg`-char span of k-gram positions;
+    # each carries only substring(base+1, seg + window-1 + k-1) — the
+    # span's grams plus the lookahead needed to close its last window
+    segs = df.select(
         F.col(key_col),
         m.alias("m"),
-        F.explode(F.sequence(F.lit(1), m)).alias("pos"),
+        F.explode(F.sequence(F.lit(0), ((m - 1) / seg).cast("long"))).alias("seg_id"),
         s.alias("_s"),
     )
-    gram = F.substring(F.col("_s"), F.col("pos"), k)
+    base = F.col("seg_id") * seg
+    seg_text = F.substring(F.col("_s"), (base + 1).cast("int"), seg + window + k - 2)
+    # positions within the segment, including window-1 context rows
+    # past the span end (they feed mins, but emit no rows themselves)
+    local_m = F.least(F.lit(seg + window - 1), F.col("m") - base).cast("int")
+    pos_rows = segs.select(
+        key_col,
+        "m",
+        "seg_id",
+        base.alias("base"),
+        seg_text.alias("_t"),
+        F.explode(F.sequence(F.lit(1), local_m)).alias("lpos"),
+    )
+    # per-row md5 in codegen — a transform() HOF would evaluate the
+    # hash chain interpreted per element, ~100× slower
+    gram = F.substring(F.col("_t"), F.col("lpos"), k)
     h = F.conv(F.substring(F.md5(F.concat(gram, F.lit("#0"))), 1, 15), 16, 10).cast("long")
-    hashed = pos_rows.select(key_col, "m", "pos", h.alias("h"))
+    hashed = pos_rows.select(key_col, "m", "seg_id", "base", "lpos", h.alias("h"))
     w = (
-        Window.partitionBy(key_col)
-        .orderBy("pos")
+        Window.partitionBy(key_col, "seg_id")
+        .orderBy("lpos")
         .rowsBetween(Window.currentRow, window - 1)
+    )
+    emit = (F.col("lpos") <= seg) & (
+        (F.col("base") + F.col("lpos")) <= F.greatest(F.col("m") - window + 1, F.lit(1))
     )
     mins = hashed.select(
         key_col,
-        "pos",
-        "m",
         F.min("h").over(w).alias("fp"),
-    ).where(F.col("pos") <= F.greatest(F.col("m") - window + 1, F.lit(1)))
+        "base",
+        "lpos",
+        "m",
+    ).where(emit)
     return mins.select(key_col, "fp").distinct()

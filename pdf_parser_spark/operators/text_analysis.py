@@ -27,12 +27,38 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_summary(df: DataFrame, text_col: str = "text", by: str = "lang") -> DataFrame:
-    """Per-group quality/token rollup (single hash agg)."""
-    feats = with_text_features(df, text_col)
+    """Per-group quality/token rollup (single hash agg).
+
+    Determinism: double AVGs wobble with Spark's partial-agg order, so
+    every average is an exact integer SUM followed by ONE double
+    division. The punct ratio is quantized per row to an integer 1e-9
+    grid (ROUND(punct*1e9/total)) before summing — per-row double math
+    is order-free and bit-identical across engines.
+    """
+    c = F.col(text_col)
+    total = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    pr_e9 = (
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.round(punct.cast("double") * F.lit(1000000000.0) / total))
+        .cast("long")
+    )
+    feats = df.select(
+        F.col(by),
+        tm.token_count(c).alias("tokens"),
+        tm.quality_points(c).alias("qpoints"),
+        pr_e9.alias("pr_e9"),
+        tm.fingerprint(c).alias("fingerprint"),
+    )
+    n = F.count("*")
     return feats.groupBy(by).agg(
-        F.count("*").alias("docs"),
-        F.round(F.avg("tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
-        F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+        n.alias("docs"),
+        (F.round(F.sum("tokens").cast("double") / n, 4) + F.lit(0.0)).alias("avg_tokens"),
+        (F.round(F.sum("qpoints").cast("double") / (n * F.lit(3.0)), 4) + F.lit(0.0)).alias(
+            "avg_quality"
+        ),
+        (
+            F.round(F.sum("pr_e9").cast("double") / n / F.lit(1000000000.0), 4) + F.lit(0.0)
+        ).alias("avg_punct_ratio"),
         F.countDistinct("fingerprint").alias("distinct_texts"),
     )

@@ -70,9 +70,15 @@ def test_every_query_has_docstringed_callable(contract):
     assert len(qs) >= 35
     # every oracle key must have a matching query
     assert set(os_) <= set(qs)
-    # the xxhash64-based ops are the only rows-only entries
-    assert set(qs) - set(os_) == {
+    # ZERO rows-only entries in the driver contract: the xxhash64 twins
+    # (q33/q34/q35) are bench-only since round 2 — an entry in
+    # queries() without an oracle is a red `no_oracle` row
+    assert set(qs) == set(os_)
+    from pdf_parser_spark.queries.suite import BENCH_QUERIES
+
+    assert set(BENCH_QUERIES) == {
         "q33_minhash_lsh_pairs",
         "q34_simhash_near_dups",
         "q35_ann_topk",
     }
+    assert not (set(BENCH_QUERIES) & set(qs))
