@@ -10,7 +10,13 @@ DataFrame plans (no Python in the hot path):
   simhash               32-bit sign-of-sum SimHash per document
   blocked_jaccard_pairs SQL-oracle-able near-dup via (lang, n_chars)
                         blocking + distinct-word Jaccard
-  embedding_near_dups   cosine near-dup within label buckets
+  embedding_near_dups   cosine near-dup within equality buckets (only
+                        safe when the bucket key's cardinality grows
+                        with n — see embedding_near_dups_lsh)
+  embedding_near_dups_lsh  cosine near-dup with banded hyperplane-LSH
+                        blocking (2^bits buckets/band, OR-amplified) —
+                        the 100TB-safe block key
+  winnowed_fingerprints segmented winnowing (bounded window groups)
 
 Scale notes (10^12 docs):
   - every pairwise step is blocked (LSH bands / equality blocks /
@@ -195,6 +201,18 @@ def shingle_sets(
     )
 
 
+def sig_prefilter_min_matches(
+    threshold: float, num_hashes: int, margin: float = 0.35
+) -> int:
+    """Integer signature-agreement floor for the verify-join prefilter:
+    keep a candidate pair only if >= this many of the num_hashes
+    signature components agree. Integer compare on BOTH engines —
+    no float-literal typing hazards in the SQL replay."""
+    import math
+
+    return max(1, math.ceil((threshold - margin) * num_hashes - 1e-9))
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -205,6 +223,7 @@ def near_dup_pairs_minhash(
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
     portable: bool = False,
+    prefilter_margin: float | None = 0.35,
 ) -> DataFrame:
     """End-to-end MinHash near-dup pipeline sharing ONE shingle pass.
 
@@ -219,6 +238,17 @@ def near_dup_pairs_minhash(
     signatures re-aggregate on the SAME key (no new shuffle: the
     child's hash partitioning already satisfies it), and the verify
     join reuses the exchange instead of re-scanning the text.
+
+    `prefilter_margin` (VERDICT r1 item 8): before shipping full
+    shingle-set arrays into the verify join, candidates are screened on
+    signature agreement — pairs matching fewer than
+    sig_prefilter_min_matches(threshold, num_hashes, margin) of the
+    already-computed minhash components are dropped. Signatures are
+    ~num_hashes longs vs KB-scale shingle sets, so the expensive join's
+    input shrinks to pairs with a real chance of passing. The floor
+    sits ~3σ below the threshold's expected agreement (σ =
+    sqrt(t(1-t)/k)), so true positives are kept w.p. >~99.9%; None
+    disables the screen for exact candidate semantics.
     """
     sets_df = shingle_sets(df, text_col, key_col, n=shingle_n)
     exploded = sets_df.select(key_col, F.explode("sh").alias("shingle"))
@@ -229,6 +259,19 @@ def near_dup_pairs_minhash(
         sigs, key_col=key_col, bands=bands, max_bucket_size=max_bucket_size,
         portable=portable,
     )
+    if prefilter_margin is not None:
+        min_matches = sig_prefilter_min_matches(threshold, num_hashes, prefilter_margin)
+        sa = sigs.select(F.col(key_col).alias("id_a"), F.col("signature").alias("sig_a"))
+        sb = sigs.select(F.col(key_col).alias("id_b"), F.col("signature").alias("sig_b"))
+        agree = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        )
+        cands = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(agree >= min_matches)
+            .select("id_a", "id_b")
+        )
     a = sets_df.select(F.col(key_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col(key_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -379,6 +422,85 @@ def embedding_near_dups(
     )
     return (
         a.join(b, on=[F.col("bk") == F.col("bk_b"), F.col("id_a") < F.col("id_b")])
+        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    seed: int = 7,
+    max_bucket_size: int | None = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Cosine near-dup with BANDED random-hyperplane LSH blocking — the
+    scale path (VERDICT r1 item 5: equality-blocking on a low-card
+    column like `label` keeps bucket count constant while n grows, so
+    pairs grow ~n²; hyperplane buckets grow with 2^bits and amplify
+    recall across bands).
+
+    bands×bits_per_band planes are hashed per vector in one pass; a
+    pair is a candidate iff it agrees on ALL bits of at least one band
+    (OR-of-ANDs amplification, the hyperplane analogue of MinHash-LSH
+    banding). Candidates are verified with exact cosine; the per-band
+    buckets get the same hot-bucket cap as the text LSH (degenerate
+    near-identical clusters emit n² pairs otherwise). `portable=True`
+    derives plane signs from the md5 portable hash so an ANSI-SQL
+    oracle replays the full pipeline (q32).
+    """
+    from .similarity import rhp_buckets
+
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    base = emb.select(F.col(key_col), F.col(vec_col), norm.alias("nrm")).where(F.col("nrm") > 0)
+    total_bits = bands * bits_per_band
+    mask = (1 << bits_per_band) - 1
+    bucketed = rhp_buckets(
+        base, bits=total_bits, seed=seed, vec_col=vec_col, portable=portable
+    )
+    band_keys = F.array(
+        *[
+            F.shiftright(F.col("bucket"), b * bits_per_band).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = bucketed.select(F.col(key_col), F.posexplode(band_keys).alias("band", "bkey"))
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") <= max_bucket_size)
+            .select("band", "bkey")
+        )
+        banded = banded.join(ok, on=["band", "bkey"], how="left_semi")
+    la, lb = banded.alias("a"), banded.alias("b")
+    cands = (
+        la.join(
+            lb,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bkey") == F.col("b.bkey"),
+                F.col(f"a.{key_col}") < F.col(f"b.{key_col}"),
+            ],
+        )
+        .select(F.col(f"a.{key_col}").alias("id_a"), F.col(f"b.{key_col}").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col(key_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("nrm").alias("n_a"))
+    vb = base.select(F.col(key_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("nrm").alias("n_b"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -62,6 +62,38 @@ def cosine_topk(
     )
 
 
+def rhp_plane_matrix(
+    spark, bits: int, dims: int, seed: int = 7, portable: bool = False
+) -> list[list[float]]:
+    """±1 plane weights W[bit][dim], derived from xxhash64(dim, bit,
+    seed) (or the md5 portable hash). Weights depend only on (dim, bit,
+    seed), so they are computed ONCE here and inlined as literals —
+    the r1 formulation re-derived every hash per ROW (bits·dims hashes
+    per vector; with the portable md5 path that alone dominated q32).
+    Bit-identical to the per-row form: same hash inputs, same parity.
+    """
+    if portable:
+        import hashlib
+
+        def w(i: int, b: int) -> float:
+            h = int(hashlib.md5(f"{i}#{b}#{seed}".encode()).hexdigest()[:15], 16)
+            return 1.0 if h % 2 == 1 else -1.0
+
+        return [[w(i, b) for i in range(dims)] for b in range(bits)]
+    # xxhash64 has no Python twin — compute the tiny bits×dims matrix
+    # with one dims-row Spark job (i cast to INT to match the array
+    # element type the per-row form hashed)
+    exprs = [
+        (F.xxhash64(F.col("i").cast("int"), F.lit(b), F.lit(seed)).bitwiseAND(F.lit(1)) == 1)
+        .alias(f"b{b}")
+        for b in range(bits)
+    ]
+    rows = (
+        spark.range(dims).select(F.col("id").alias("i"), *exprs).orderBy("i").collect()
+    )
+    return [[1.0 if r[f"b{b}"] else -1.0 for r in rows] for b in range(bits)]
+
+
 def rhp_buckets(
     emb: DataFrame,
     bits: int = 8,
@@ -73,34 +105,25 @@ def rhp_buckets(
     """Random-hyperplane LSH bucket per row.
 
     Plane weights are pseudo-random ±1 derived from xxhash64(dim, bit,
-    seed) — deterministic, nothing to broadcast, recomputable on both
+    seed) — deterministic, nothing to store, recomputable on both
     sides of any join. bucket = Σ_b [dot(v, plane_b) > 0] << b.
     `portable=True` derives the signs from the md5-based portable hash
-    so an ANSI-SQL oracle can replay the bucketing (q46).
+    so an ANSI-SQL oracle can replay the bucketing (q32/q46).
+
+    The plane matrix is precomputed driver-side (rhp_plane_matrix) and
+    inlined as array literals — fixed `dims` per call (inferred from
+    the first row when not given; vectors must be fixed-width, which
+    embedding columns are by construction).
     """
-
-    def weight(i, b):
-        if portable:
-            key = F.concat(i.cast("string"), F.lit(f"#{b}"))
-            parity = F.pmod(portable_hash64(key, seed), F.lit(2)) == 1
-        else:
-            parity = F.xxhash64(i, F.lit(b), F.lit(seed)).bitwiseAND(F.lit(1)) == 1
-        return F.when(parity, F.lit(1.0)).otherwise(F.lit(-1.0))
-
-    def plane(b: int):
-        # NB: the transform lambda must be UNARY — a two-arg lambda is
-        # interpreted by Spark as (element, index) and the second
-        # parameter silently becomes the index column
-        return lambda i: weight(i, b)
-
+    if dims is None:
+        row = emb.select(F.size(vec_col).alias("d")).first()
+        dims = int(row["d"]) if row is not None else 0
+    W = rhp_plane_matrix(emb.sparkSession, bits, dims, seed=seed, portable=portable)
     bucket = F.lit(0)
     for b in range(bits):
+        plane = F.array(*[F.lit(x) for x in W[b]])
         proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1), plane(b)),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -1037,28 +1037,10 @@ def q31(spark, sf):
     )
 
 
-@register(
-    "q32_embedding_near_dups",
-    """
-    WITH e AS (
-      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
-    """,
-)
-def q32(spark, sf):
-    """Embedding-cosine near-dup within label buckets (blocked pairwise
-    — the equality-block form of embedding dedup)."""
-    e = _t(spark, sf, "embeddings")
-    pairs = dedup.embedding_near_dups(
-        e, key_col="vec_id", vec_col="embedding", bucket_col="label", threshold=0.3
-    )
-    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+# q32_embedding_near_dups is registered in the portable-hash section
+# near _sql_plane (its oracle replays the banded hyperplane-LSH
+# blocking — VERDICT r1 item 5 replaced the label-equality block,
+# whose bucket count didn't grow with n, with 2^bits LSH buckets).
 
 
 # --- xxhash64 production variants (hash functions DuckDB lacks):
@@ -1323,6 +1305,10 @@ def q44(spark, sf):
 
 _P_HASHES = 16
 _P_BANDS = 4
+_PREFILTER_MIN = dedup.sig_prefilter_min_matches(0.7, _P_HASHES, 0.35)
+_sig_agree_sql = " + ".join(
+    f"(CASE WHEN ha.m{i} = hb.m{i} THEN 1 ELSE 0 END)" for i in range(_P_HASHES)
+)
 
 
 def _sql_phash(expr: str, seed: int) -> str:
@@ -1374,10 +1360,17 @@ ok AS (
 bb AS (
   SELECT b.* FROM banded b JOIN ok USING (band, band_hash)
 ),
-cand AS (
+cand_raw AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bb a JOIN bb b ON a.band = b.band AND a.band_hash = b.band_hash
                       AND a.doc_id < b.doc_id
+),
+cand AS (
+  -- signature-agreement prefilter (dedup.sig_prefilter_min_matches):
+  -- integer floor {_PREFILTER_MIN} of {_P_HASHES} matching components
+  SELECT c.id_a, c.id_b
+  FROM cand_raw c JOIN h ha ON ha.doc_id = c.id_a JOIN h hb ON hb.doc_id = c.id_b
+  WHERE ({_sig_agree_sql}) >= {_PREFILTER_MIN}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS nw FROM g GROUP BY 1),
 inter AS (
@@ -1420,6 +1413,58 @@ def _sql_plane(b: int, seed: int = 7) -> str:
         "list_transform(generate_series(0, 63), "
         f"i -> CASE WHEN {h} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
     )
+
+
+def _q32_oracle(bands: int = 4, r: int = 4, cap: int = 1000, thresh: str = "0.3") -> str:
+    """Replay of dedup.embedding_near_dups_lsh(portable=True): 16
+    md5-derived ±1 planes → 16-bit bucket → 4 bands of 4 bits →
+    capped band buckets → candidate pairs → exact-cosine verify."""
+    total = bands * r
+    mask = (1 << r) - 1
+    planes = ", ".join(f"{_sql_plane(b)} AS w{b}" for b in range(total))
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, w{b}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(total)
+    )
+    return f"""
+WITH w AS (SELECT {planes}),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+  FROM base WHERE sqrt(list_dot_product(v, v)) > 0
+),
+bucketed AS (SELECT vec_id, {bucket} AS bucket FROM n, w),
+banded AS (
+  SELECT vec_id, band, (bucket >> (band * {r})) & {mask} AS bkey
+  FROM bucketed, (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+),
+ok AS (SELECT band, bkey FROM banded GROUP BY 1, 2 HAVING COUNT(*) <= {cap}),
+bb AS (SELECT b.* FROM banded b JOIN ok USING (band, bkey)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos_raw, 4) + 0.0 AS cosine FROM (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos_raw
+  FROM cand c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b)
+WHERE cos_raw >= {thresh}
+"""
+
+
+@register("q32_embedding_near_dups", _q32_oracle())
+def q32(spark, sf):
+    """Embedding-cosine near-dup, banded hyperplane-LSH blocked — the
+    100TB-safe block key (bucket count 2^bits, recall amplified across
+    bands) with the full SQL value oracle via the portable hash."""
+    e = _t(spark, sf, "embeddings")
+    pairs = dedup.embedding_near_dups_lsh(
+        e, key_col="vec_id", vec_col="embedding", threshold=0.3,
+        bands=4, bits_per_band=4, seed=7, portable=True,
+    )
+    return pairs.select("id_a", "id_b", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"))
 
 
 def _q46_oracle() -> str:
