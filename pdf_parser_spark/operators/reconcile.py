@@ -69,16 +69,11 @@ def captured_caption_ids(chunks: DataFrame, url_col: str = "url") -> DataFrame:
     return f.join(t, on="url", how="full_outer")
 
 
-def reconcile_caption_ids(
-    docs: DataFrame, extracted: DataFrame, span: int = 2
-) -> DataFrame:
-    """J6 per document: matched/missing/extra ID sets and counts, both
-    kinds. `extracted` is the operators.extract output (provides
-    toc_end and the chunks array)."""
-    from .extract import chunks_table
-
-    listed = listed_caption_ids(docs, extracted.select("url", "toc_end"), span=span)
-    captured = captured_caption_ids(chunks_table(extracted))
+def reconcile_sets(listed: DataFrame, captured: DataFrame) -> DataFrame:
+    """J6 core: full-outer join on url, per-kind matched/missing/extra
+    id arrays (sorted for deterministic output) + match counts.
+    Inputs: listed(url, figs_listed, tabs_listed) and
+    captured(url, figs_captured, tabs_captured)."""
     j = listed.join(captured, on="url", how="full_outer")
     empty = F.array().cast("array<string>")
     cols = {}
@@ -95,3 +90,16 @@ def reconcile_caption_ids(
     for kind in ("figs", "tabs"):
         out = out.withColumn(f"n_{kind}_matched", F.size(f"{kind}_matched"))
     return out
+
+
+def reconcile_caption_ids(
+    docs: DataFrame, extracted: DataFrame, span: int = 2
+) -> DataFrame:
+    """J6 per document: matched/missing/extra ID sets and counts, both
+    kinds. `extracted` is the operators.extract output (provides
+    toc_end and the chunks array)."""
+    from .extract import chunks_table
+
+    listed = listed_caption_ids(docs, extracted.select("url", "toc_end"), span=span)
+    captured = captured_caption_ids(chunks_table(extracted))
+    return reconcile_sets(listed, captured)

@@ -51,6 +51,16 @@ def validate_distributed(
         import numpy as np
 
         (url,) = key
+        # the greedy matcher is ORDER-SENSITIVE (ToC rows consume
+        # chunks; out-of-order compares chunk indices) and a shuffled
+        # group arrives in nondeterministic row order — when the caller
+        # ships an explicit position column, restore it before matching
+        if "toc_pos" in toc_pdf.columns:
+            toc_pdf = toc_pdf.sort_values("toc_pos", kind="mergesort").drop(columns=["toc_pos"])
+        if "chunk_pos" in chunks_pdf.columns:
+            chunks_pdf = chunks_pdf.sort_values("chunk_pos", kind="mergesort").drop(
+                columns=["chunk_pos"]
+            )
 
         def records(pdf: pd.DataFrame) -> list[dict]:
             # Arrow materializes array columns as np.ndarray; the core

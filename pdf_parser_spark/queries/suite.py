@@ -1616,3 +1616,353 @@ def q49(spark, sf):
         .groupBy("lang", "guess")
         .agg(F.count("*").alias("n"))
     )
+
+
+# =====================================================================
+# r2 additions: oracle rows for the previously pytest-only operators
+# (VERDICT r1 item 3 — F3, J3, J6/E6, J8, A2, A4/A5-A7/K3, S3, F8/F9)
+# =====================================================================
+
+from ..operators import metrics_native as mn  # noqa: E402
+from ..operators import reconcile as rc  # noqa: E402
+from ..operators import validate_dist as vd  # noqa: E402
+from ..sinks import reports as rp  # noqa: E402
+from ..sources import jsonl as jl  # noqa: E402
+
+_SQL_S1 = "CAST(doc_id % 9 + 1 AS VARCHAR)"
+
+
+@register(
+    "q50_content_line_filter",
+    """
+    SELECT doc_id AS url, CAST(0 AS INTEGER) AS pos FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(4 AS INTEGER) FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(5 AS INTEGER) FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def q50(spark, sf):
+    """F3 per-line content filter: caption mentions survive; heading-
+    shaped lines, the brand running header and Page-N footers drop.
+    Oracle = independently-constructed surviving positions."""
+    d = _t(spark, sf, "documents")
+    doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
+    arr = F.array(
+        F.concat(F.lit("Table "), s1, F.lit(".2 shows results")),      # keep (caption)
+        F.concat(s1, F.lit(" heading line text")),                     # drop (heading shape)
+        F.lit("Universal Serial Bus Power Delivery Specification"),    # drop (brand)
+        F.lit("Page 12"),                                              # drop (footer)
+        F.lit("plain prose narrative here"),                           # keep
+        F.when(doc % 2 == 0, F.lit("Figure 3.1 overview")),            # keep when present
+    )
+    lines = d.select(doc.alias("url"), F.posexplode(F.array_compact(arr)).alias("pos", "line"))
+    return lines.where(cn.keep_content_line_native(F.col("line"))).select("url", "pos")
+
+
+@register(
+    "q51_title_override",
+    f"""
+    SELECT doc_id AS url, {_SQL_S1} AS section_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'toc title ' || {_SQL_S1}
+                ELSE 'detected title ' || {_SQL_S1} END AS title
+    FROM documents
+    """,
+)
+def q51(spark, sf):
+    """J8 title override: detected heading titles replaced by ToC
+    titles when the ToC promises the id (broadcast left join +
+    coalesce); headings without a ToC row keep their own title."""
+    d = _t(spark, sf, "documents")
+    doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
+    headings = d.select(
+        doc.alias("url"), s1.alias("section_id"),
+        F.concat(F.lit("detected title "), s1).alias("title"),
+    )
+    toc = d.where(doc % 2 == 0).select(
+        doc.alias("url"), s1.alias("section_id"),
+        F.concat(F.lit("toc title "), s1).alias("title"),
+    ).unionByName(
+        d.select(doc.alias("url"), F.lit("99").alias("section_id"), F.lit("unused").alias("title"))
+    )
+    return cn.override_titles_from_toc(headings, toc).select("url", "section_id", "title")
+
+
+@register(
+    "q52_caption_reconcile",
+    f"""
+    SELECT doc_id AS url,
+           {_SQL_S1} || '.1' AS figs_matched_csv,
+           'Z.8' AS figs_missing_csv,
+           CASE WHEN doc_id % 3 = 0 THEN 'Z.9' ELSE '' END AS tabs_extra_csv,
+           CAST(1 AS INTEGER) AS n_figs_matched,
+           CAST(1 AS INTEGER) AS n_tabs_matched
+    FROM documents
+    """,
+)
+def q52(spark, sf):
+    """E6 strict-id harvest from caption strings + J6 reconcile
+    (array_intersect/except on sorted per-url sets): listed-but-never-
+    captured ids go missing, captured-but-unlisted ids go extra."""
+    d = _t(spark, sf, "documents")
+    doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
+    chunks = d.select(
+        doc.alias("url"),
+        F.array(
+            F.concat(F.lit("Figure "), s1, F.lit(".1 spec")),
+            F.lit("no caption here"),
+        ).alias("figures"),
+        F.array_compact(
+            F.array(
+                F.concat(F.lit("Table "), s1, F.lit(".2 x")),
+                F.when(doc % 3 == 0, F.lit("Table Z.9 y")),
+            )
+        ).alias("tables"),
+    )
+    captured = rc.captured_caption_ids(chunks)
+    listed = d.select(
+        doc.alias("url"),
+        F.array_sort(F.array(F.concat(s1, F.lit(".1")), F.lit("Z.8"))).alias("figs_listed"),
+        F.array(F.concat(s1, F.lit(".2"))).alias("tabs_listed"),
+    )
+    rec = rc.reconcile_sets(listed, captured)
+    return rec.select(
+        "url",
+        F.array_join("figs_matched", ",").alias("figs_matched_csv"),
+        F.array_join("figs_missing", ",").alias("figs_missing_csv"),
+        F.array_join("tabs_extra", ",").alias("tabs_extra_csv"),
+        "n_figs_matched",
+        "n_tabs_matched",
+    )
+
+
+@register(
+    "q53_export_table_counts",
+    """
+    SELECT doc_id AS url,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 4
+                     WHEN doc_id % 3 = 1 THEN doc_id % 5
+                     ELSE 2 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                END AS INTEGER) AS n_tables
+    FROM documents
+    """,
+)
+def q53(spark, sf):
+    """A2 table counting with export-record fallbacks: the tables list
+    when present, else the recorded count, else table-mentions found in
+    the content (orchestrate.py:148-154)."""
+    d = _t(spark, sf, "documents")
+    doc = F.col("doc_id")
+    rows = d.select(
+        doc.alias("url"),
+        F.when(doc % 3 == 0, F.array_repeat(F.lit("t"), (doc % 4).cast("int"))).alias("tables"),
+        F.when(doc % 3 == 1, (doc % 5).cast("int")).alias("tables_count"),
+        F.when(
+            doc % 3 == 2,
+            F.concat(
+                F.lit("Table 1.1 intro; Table 2 notes"),
+                F.when(doc % 2 == 0, F.lit(" Table 3.3 x")).otherwise(F.lit("")),
+            ),
+        ).alias("content"),
+    )
+    return rows.select(
+        "url",
+        mn.count_tables_in_export_native(
+            F.col("tables"), F.col("tables_count"), F.col("content")
+        ).alias("n_tables"),
+    )
+
+
+@register(
+    "q54_validation_report_rollup",
+    f"""
+    WITH v AS (
+      SELECT doc_id,
+             doc_id % 4 + 2 AS toc_n,
+             doc_id % 4 + 2 - (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS parsed_n,
+             doc_id % 3 + 1 AS n_matched,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_missing,
+             CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END AS n_extra,
+             CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS n_ooo
+      FROM documents
+    ),
+    agg AS (
+      SELECT COUNT(*) AS docs,
+             CAST(SUM(toc_n) AS BIGINT) AS toc_sections,
+             CAST(SUM(parsed_n) AS BIGINT) AS parsed_sections,
+             CAST(SUM(n_matched) AS BIGINT) AS matched,
+             CAST(SUM(n_missing) AS BIGINT) AS missing,
+             CAST(SUM(n_extra) AS BIGINT) AS extra,
+             CAST(SUM(n_ooo) AS BIGINT) AS out_of_order
+      FROM v
+    ),
+    samp AS (
+      SELECT COALESCE(string_agg(s, '|' ORDER BY s), '') AS missing_sample FROM (
+        SELECT 'sec ' || {_SQL_S1} AS s FROM documents
+        WHERE doc_id % 5 = 0 ORDER BY s LIMIT 5)
+    )
+    SELECT a.*, ROUND(CAST(a.matched AS DOUBLE) / (a.matched + a.missing) * 100, 1) + 0.0
+             AS match_pct,
+           samp.missing_sample
+    FROM agg a, samp
+    """,
+)
+def q54(spark, sf):
+    """K3/A4/A5-A7 corpus validation rollup + W8 bounded discrepancy
+    sample: sums of per-url report counts, match percentage, and the 5
+    lexicographically-first missing labels."""
+    d = _t(spark, sf, "documents")
+    doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
+    empty = F.array().cast("array<string>")
+    v = d.select(
+        doc.alias("url"),
+        (doc % 4 + 2).cast("int").alias("toc_section_count"),
+        (doc % 4 + 2 - F.when(doc % 5 == 0, 1).otherwise(0)).cast("int").alias(
+            "parsed_section_count"
+        ),
+        F.array_repeat(F.lit("m"), (doc % 3 + 1).cast("int")).alias("matched_sections"),
+        F.when(doc % 5 == 0, F.array(F.concat(F.lit("sec "), s1))).otherwise(empty).alias(
+            "missing_sections"
+        ),
+        F.when(doc % 7 == 0, F.array(F.lit("e1"), F.lit("e2"))).otherwise(empty).alias(
+            "extra_sections"
+        ),
+        F.when(doc % 11 == 0, F.array(F.lit("o"))).otherwise(empty).alias(
+            "out_of_order_sections"
+        ),
+    )
+    summary = rp.validation_summary(v).withColumn(
+        "match_pct", F.col("match_pct") + F.lit(0.0)
+    )
+    sample = (
+        v.select(F.explode("missing_sections").alias("s"))
+        .orderBy("s")
+        .limit(5)
+        .agg(F.coalesce(F.array_join(F.array_sort(F.collect_list("s")), "|"), F.lit("")).alias(
+            "missing_sample"
+        ))
+    )
+    return summary.crossJoin(sample)
+
+
+@register(
+    "q55_greedy_fuzzy_validate",
+    f"""
+    SELECT doc_id AS url,
+           CAST(3 AS INTEGER) AS toc_section_count,
+           CAST(3 AS INTEGER) AS parsed_section_count,
+           {_SQL_S1} || ' alpha quality metrics|X9 reliability overview part two'
+             AS matched_csv,
+           'Y8 gamma delta epsilon coverage' AS missing_csv,
+           'qq unrelated content entirely' AS extra_csv,
+           '' AS ooo_csv
+    FROM documents
+    """,
+)
+def q55(spark, sf):
+    """J3 greedy stateful fuzzy matching through the distributed
+    validator (cogroup-applyInPandas running the byte-parity core):
+    exact id phase, then best-unclaimed-chunk fuzzy phase in ToC order
+    (position columns restore deterministic order under shuffle)."""
+    d = _t(spark, sf, "documents")
+    doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
+    toc = d.select(
+        doc.cast("string").alias("url"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("toc_pos"), s1.alias("section_id"),
+                         F.lit("alpha quality metrics").alias("title")),
+                F.struct(F.lit(1).alias("toc_pos"), F.lit("X9").alias("section_id"),
+                         F.lit("reliability overview part two").alias("title")),
+                F.struct(F.lit(2).alias("toc_pos"), F.lit("Y8").alias("section_id"),
+                         F.lit("gamma delta epsilon coverage").alias("title")),
+            )
+        ).alias("t"),
+    ).select("url", "t.*")
+    chunks = d.select(
+        doc.cast("string").alias("url"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("chunk_pos"),
+                         F.concat(s1, F.lit(" intro materials")).alias("section_path")),
+                F.struct(F.lit(1).alias("chunk_pos"),
+                         F.lit("zz reliability overview part two").alias("section_path")),
+                F.struct(F.lit(2).alias("chunk_pos"),
+                         F.lit("qq unrelated content entirely").alias("section_path")),
+            )
+        ).alias("c"),
+    ).select("url", "c.*", F.lit("").alias("content"), F.lit("1,2").alias("page_range"))
+    rep = vd.validate_distributed(toc, chunks, fuzzy_threshold=0.90)
+    return rep.select(
+        F.col("url").cast("bigint").alias("url"),
+        "toc_section_count",
+        "parsed_section_count",
+        F.array_join("matched_sections", "|").alias("matched_csv"),
+        F.array_join("missing_sections", "|").alias("missing_csv"),
+        F.array_join("extra_sections", "|").alias("extra_csv"),
+        F.array_join("out_of_order_sections", "|").alias("ooo_csv"),
+    )
+
+
+@register(
+    "q56_jsonl_lenient_parse",
+    """
+    SELECT lang,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN doc_id % 37 ELSE 0 END) AS BIGINT) AS sum_page
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q56(spark, sf):
+    """S3 lenient JSONL: PERMISSIVE from_json with a first-class
+    corrupt-record column — malformed lines become accountable rows
+    (never a silent drop), good rows parse schema-on-read."""
+    from pyspark.sql import types as T
+
+    d = _t(spark, sf, "documents")
+    doc = F.col("doc_id")
+    value = F.when(doc % 7 == 0, F.lit('{"title": "t", "page": }')).otherwise(
+        F.concat(
+            F.lit('{"title": "t"'), F.lit(', "page": '), (doc % 37).cast("string"), F.lit("}")
+        )
+    )
+    lines = d.select("lang", value.alias("value"))
+    schema = T.StructType(
+        [T.StructField("title", T.StringType()), T.StructField("page", T.IntegerType())]
+    )
+    parsed = jl.parse_jsonl_column(lines, "value", schema, keep=["lang"])
+    return parsed.groupBy("lang").agg(
+        F.sum(F.when(F.col(jl.CORRUPT_COL).isNull(), 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col(jl.CORRUPT_COL).isNotNull(), 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("page"), F.lit(0))).cast("bigint").alias("sum_page"),
+    )
+
+
+@register(
+    "q57_noisy_chunk_alpha_title",
+    """
+    SELECT doc_id AS url,
+           CAST(1 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_noisy,
+           CAST(1 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_alpha
+    FROM documents
+    """,
+)
+def q57(spark, sf):
+    """F8 noisy-chunk heuristic (oversized / word-dense content) + F9
+    alpha-title ToC filter, both as native predicates."""
+    d = _t(spark, sf, "documents")
+    doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
+    content_a = F.repeat(F.lit("abc "), F.when(doc % 2 == 0, 2100).otherwise(1500))
+    content_b = F.repeat(F.lit("x"), F.lit(10001))
+    content_c = F.lit("short fine content")
+    t1 = F.concat(F.lit("alpha "), s1)
+    t2 = F.when(doc % 3 == 0, F.lit("Appendix")).otherwise(F.lit("123"))
+    noisy = (
+        mn.is_noisy_chunk_native(content_a).cast("int")
+        + mn.is_noisy_chunk_native(content_b).cast("int")
+        + mn.is_noisy_chunk_native(content_c).cast("int")
+    )
+    alpha = mn.has_alpha_title_native(t1).cast("int") + mn.has_alpha_title_native(t2).cast("int")
+    return d.select(doc.alias("url"), noisy.alias("n_noisy"), alpha.alias("n_alpha"))

@@ -41,6 +41,25 @@ CHUNK_SCHEMA = T.StructType(
 )
 
 
+def parse_jsonl_column(
+    lines: DataFrame, col: str, schema: T.StructType, keep: list[str] | None = None
+) -> DataFrame:
+    """Lenient schema-on-read over an existing string COLUMN: malformed
+    values keep their raw text in `_corrupt` with every data column
+    null. The shared core of read_jsonl and of any pipeline whose JSON
+    arrives embedded in a table (Kafka values, props columns, q56)."""
+    full = T.StructType(schema.fields + [T.StructField(CORRUPT_COL, T.StringType())])
+    parsed = lines.select(
+        *(keep or []),
+        F.from_json(
+            col,
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("rec"),
+    )
+    return parsed.select(*(keep or []), "rec.*")
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
@@ -50,15 +69,7 @@ def read_jsonl(
     that touch only its corrupt column — text+from_json has no such
     restriction and makes the raw line first-class.)"""
     lines = spark.read.text(path).where(F.trim("value") != "")
-    full = T.StructType(schema.fields + [T.StructField(CORRUPT_COL, T.StringType())])
-    parsed = lines.select(
-        F.from_json(
-            "value",
-            full,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ).alias("rec")
-    )
-    return parsed.select("rec.*")
+    return parse_jsonl_column(lines, "value", schema)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -33,6 +33,12 @@ SUBSET = [
     "q26_blocked_jaccard_pairs",
     "q27_text_features",
     "q30_cosine_topk",
+    "q50_content_line_filter",
+    "q52_caption_reconcile",
+    "q53_export_table_counts",
+    "q55_greedy_fuzzy_validate",
+    "q56_jsonl_lenient_parse",
+    "q57_noisy_chunk_alpha_title",
 ]
 
 
