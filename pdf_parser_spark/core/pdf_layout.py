@@ -47,12 +47,51 @@ def encode_fake_pdf(pages: list[list[tuple[float, float, str]]]) -> bytes:
     return b"".join(out)
 
 
+def _decode_real_pdf(data: bytes) -> list[list[tuple[float, float, str]]]:
+    """Real-PDF body, import-gated (VERDICT r1 item 7): PyMuPDF blocks
+    first (reference utils.py:207-230 — b[0]=x0, b[1]=y0, b[4]=text),
+    else pdfplumber per-page text as one block per line (the
+    reference's pdfplumber path, utils.py:171-205, is line-oriented —
+    y0=line index preserves reading order through assemble_page).
+    Neither lib ships in this sandbox, so here this raises; where the
+    libs exist the same call decodes real corpora unchanged."""
+    import io
+
+    try:
+        import fitz  # PyMuPDF
+
+        pages: list[list[tuple[float, float, str]]] = []
+        with fitz.open(stream=data, filetype="pdf") as doc:
+            for page in doc:
+                pages.append([(b[0], b[1], b[4]) for b in page.get_text("blocks")])
+        return pages
+    except ImportError:
+        pass
+    try:
+        import pdfplumber
+
+        pages = []
+        with pdfplumber.open(io.BytesIO(data)) as pdf:
+            for page in pdf.pages:
+                txt = page.extract_text() or ""
+                pages.append(
+                    [(0.0, float(i), line) for i, line in enumerate(txt.splitlines())]
+                )
+        return pages
+    except ImportError:
+        raise NotImplementedError(
+            "real PDF bytes but no codec installed (pip install PyMuPDF or pdfplumber)"
+        ) from None
+
+
 def decode_pdf_pages(data: bytes) -> list[list[tuple[float, float, str]]]:
-    """→ per-page positioned blocks. STUB codec seam: FPDF container
-    only; a real deployment swaps in PyMuPDF's page.get_text("blocks")
-    here with no change to assemble_page or anything downstream."""
+    """→ per-page positioned blocks. FPDF fake container decodes
+    natively (deterministic test path); real %PDF bytes go through the
+    import-gated PyMuPDF/pdfplumber body; anything else raises."""
     if data[:4] != MAGIC:
-        raise NotImplementedError("real PDF codecs (PyMuPDF/pdfplumber) not available here")
+        if data[:5] == b"%PDF-":
+            return _decode_real_pdf(data)
+        raise NotImplementedError("unrecognized container (not FPDF, not %PDF)")
     (n_pages,) = struct.unpack(">I", data[4:8])
     off = 8
     pages: list[list[tuple[float, float, str]]] = []
@@ -67,6 +106,19 @@ def decode_pdf_pages(data: bytes) -> list[list[tuple[float, float, str]]]:
             off += ln
         pages.append(blocks)
     return pages
+
+
+def pdf_text_lines(data: bytes, start: int, end: int) -> list[str]:
+    """S2 ranged scan at the codec level (reference utils.py:171-205):
+    text lines of pages start..end inclusive, 1-based, clamped to the
+    document. Works over any container decode_pdf_pages accepts."""
+    pages = pdf_to_page_texts(data)
+    start, end = max(1, start), min(end, len(pages))
+    out: list[str] = []
+    for page_no, text in pages:
+        if start <= page_no <= end:
+            out.extend(text.splitlines())
+    return out
 
 
 def pdf_to_page_texts(data: bytes) -> list[tuple[int, str]]:
