@@ -69,3 +69,28 @@ def write_documents(df: DataFrame, path: str) -> None:
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
+
+
+def write_documents_partitioned(df: DataFrame, path: str) -> None:
+    """Date-partitioned layout — the parquet stand-in for Iceberg's
+    days(warc_ts) partition transform: one directory per crawl day, so
+    time-ranged scans prune at the FILE level (no data read outside
+    the range). The derived warc_date column is the partition key;
+    warc_ts stays on every row (Iceberg's hidden partitioning keeps
+    the transform implicit; plain parquet needs the column spelled
+    out, same pruning either way)."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("warc_date", F.to_date("warc_ts"))
+        .write.mode("overwrite")
+        .partitionBy("warc_date")
+        .parquet(path)
+    )
+
+
+def read_documents_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the date-partitioned layout; filters on warc_date become
+    PartitionFilters (verified by tests/test_plans.py)."""
+    schema = T.StructType(DOCUMENTS_SCHEMA.fields + [T.StructField("warc_date", T.DateType())])
+    return spark.read.schema(schema).parquet(path)

@@ -155,3 +155,37 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_date_partition_pruning(spark, tmp_path):
+    """days(warc_ts)-style layout: a warc_date range filter must reach
+    the scan as a PartitionFilter and cut the partition count — the
+    parquet stand-in for Iceberg hidden-partition pruning."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.sources.corpus import (
+        read_documents_partitioned,
+        synthetic_documents,
+        write_documents_partitioned,
+    )
+
+    path = str(tmp_path / "docs_by_day")
+    write_documents_partitioned(synthetic_documents(spark, 1500, seed=42), path)
+    docs = read_documents_partitioned(spark, path)
+    n_days = docs.select("warc_date").distinct().count()
+    assert n_days > 1  # 137s spacing spans ~2.4 days at 1500 docs
+
+    one_day = docs.where(F.col("warc_date") == F.lit(docs.agg(F.min("warc_date")).first()[0]))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "warc_date" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # pruning is real: the filtered scan reads fewer partition dirs
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan) or re.search(
+        r"PartitionCount: (\d+)", plan
+    )
+    if m:
+        assert int(m.group(1)) < n_days
+    # and the data actually narrows
+    assert 0 < one_day.count() < 1500
