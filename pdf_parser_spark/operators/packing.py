@@ -1,0 +1,85 @@
+"""Training-sample shaping: token-window chunking + sequence packing.
+
+The last mile of an LLM data pipeline — documents become fixed-budget
+training samples:
+
+  token_chunks     sliding word-window chunks (size, overlap) per
+                   document: explode over chunk indices + array slice,
+                   all codegen'd, rows ∝ chunks (never ∝ words)
+  pack_sequences   assign documents to fixed-token-budget training
+                   sequences via a cumulative-sum window within a
+                   group (the deterministic, shuffle-light analogue of
+                   greedy concat-and-pack; a document that straddles a
+                   boundary opens the next sequence rather than being
+                   split — documented, SQL-replayable semantics)
+
+Scale notes: token_chunks shuffles nothing; pack_sequences is one
+window shuffle on the group key. Both are ANSI-replayable (q62/q63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text_metrics import token_count, word_array
+
+
+def token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """One row per (doc, chunk): words [k*stride, k*stride+size) with
+    stride = size - overlap. Documents shorter than one stride yield a
+    single chunk; empty documents yield none."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    words = word_array(F.col(text_col))
+    n = token_count(F.col(text_col))
+    base = df.select(
+        F.col(key_col).alias("url"), words.alias("ws"), n.alias("n")
+    ).where(F.col("n") > 0)
+    n_chunks = F.ceil(F.col("n") / F.lit(stride)).cast("int")
+    exploded = base.select(
+        "url",
+        "n",
+        "ws",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))).alias("chunk_no"),
+    )
+    start = F.col("chunk_no") * stride
+    cnt = F.least(F.lit(size), F.col("n") - start)
+    return exploded.select(
+        "url",
+        "chunk_no",
+        cnt.cast("int").alias("n_words"),
+        F.element_at("ws", (start + 1).cast("int")).alias("first_word"),
+        F.element_at("ws", (start + cnt).cast("int")).alias("last_word"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    by: str = "lang",
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign each document to a training sequence id: documents are
+    taken in deterministic (key) order within each group, and a
+    document starts in the sequence its cumulative predecessor mass
+    lands in — seq_id = floor(tokens_before / budget). One window
+    shuffle on the group key."""
+    w = Window.partitionBy(by).orderBy(key_col)
+    toks = token_count(F.col(text_col))
+    base = df.select(F.col(by), F.col(key_col), toks.alias("tokens"))
+    cum = F.sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    before = cum - F.col("tokens")
+    return base.select(
+        by,
+        key_col,
+        "tokens",
+        F.floor(before / F.lit(budget)).cast("bigint").alias("seq_id"),
+    )

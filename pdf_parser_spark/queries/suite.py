@@ -2156,3 +2156,70 @@ def q61(spark, sf):
         .groupBy("url_canon")
         .agg(F.count("*").alias("n_urls"))
     )
+
+
+# =====================================================================
+# Training-sample shaping: token-window chunking + sequence packing
+# =====================================================================
+
+from ..operators import packing as pk  # noqa: E402
+
+
+@register(
+    "q62_token_chunks",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS ws,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, ws, n,
+             unnest(generate_series(0, greatest(CAST(ceil(n / 48.0) AS INTEGER) - 1, 0)))
+               AS chunk_no
+      FROM w WHERE n > 0
+    )
+    SELECT doc_id AS url, CAST(chunk_no AS INTEGER) AS chunk_no,
+           CAST(least(64, n - chunk_no * 48) AS INTEGER) AS n_words,
+           ws[chunk_no * 48 + 1] AS first_word,
+           ws[chunk_no * 48 + least(64, n - chunk_no * 48)] AS last_word
+    FROM e
+    """,
+)
+def q62(spark, sf):
+    """Sliding token-window chunking (size 64, overlap 16 → stride
+    48): rows ∝ chunks via explode over chunk indices + array slice,
+    zero shuffles — documents become fixed-budget training samples."""
+    d = _t(spark, sf, "documents")
+    return pk.token_chunks(d, text_col="text", key_col="doc_id", size=64, overlap=16)
+
+
+@register(
+    "q63_sequence_packing",
+    """
+    WITH t AS (
+      SELECT lang, doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, tokens,
+             CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - tokens AS before
+      FROM t
+    )
+    SELECT lang, doc_id, tokens,
+           CAST(FLOOR(CAST(before AS DOUBLE) / 2048) AS BIGINT) AS seq_id
+    FROM c
+    """,
+)
+def q63(spark, sf):
+    """Concat-and-pack sequence assignment: deterministic doc order
+    within each lang, seq_id = floor(cumulative-predecessor-tokens /
+    2048). One window shuffle on the group key; exact integer math."""
+    d = _t(spark, sf, "documents")
+    return pk.pack_sequences(d, text_col="text", key_col="doc_id", by="lang", budget=2048)
