@@ -514,6 +514,7 @@ def winnowed_fingerprints(
     k: int = 8,
     window: int = 4,
     segment: int = 512,
+    portable: bool = True,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     character k-gram, keep the MINIMUM hash of each sliding window of
@@ -569,10 +570,15 @@ def winnowed_fingerprints(
         seg_text.alias("_t"),
         F.explode(F.sequence(F.lit(1), local_m)).alias("lpos"),
     )
-    # per-row md5 in codegen — a transform() HOF would evaluate the
-    # hash chain interpreted per element, ~100× slower
+    # per-row hashing in codegen — a transform() HOF would evaluate
+    # the hash chain interpreted per element, ~100× slower. portable
+    # (md5-derived) replays in the SQL oracle (q48); portable=False is
+    # the production path (xxhash64, ~3× cheaper per gram)
     gram = F.substring(F.col("_t"), F.col("lpos"), k)
-    h = F.conv(F.substring(F.md5(F.concat(gram, F.lit("#0"))), 1, 15), 16, 10).cast("long")
+    if portable:
+        h = F.conv(F.substring(F.md5(F.concat(gram, F.lit("#0"))), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(gram, F.lit(0))
     hashed = pos_rows.select(key_col, "m", "seg_id", "base", "lpos", h.alias("h"))
     w = (
         Window.partitionBy(key_col, "seg_id")

@@ -2223,3 +2223,14 @@ def q63(spark, sf):
     2048). One window shuffle on the group key; exact integer math."""
     d = _t(spark, sf, "documents")
     return pk.pack_sequences(d, text_col="text", key_col="doc_id", by="lang", budget=2048)
+
+
+@register("q48x_winnowing_xxhash", bench_only=True)
+def q48x(spark, sf):
+    """Production winnowing twin: xxhash64 grams instead of the
+    md5-derived portable hash (same segmented selection; bench-only —
+    the value contract stays on q48's oracle-replayable hash)."""
+    d = _t(spark, sf, "documents")
+    return dedup.winnowed_fingerprints(
+        d, text_col="text", key_col="doc_id", k=8, window=4, portable=False
+    )

@@ -86,5 +86,6 @@ def test_every_query_has_docstringed_callable(contract):
         "q33_minhash_lsh_pairs",
         "q34_simhash_near_dups",
         "q35_ann_topk",
+        "q48x_winnowing_xxhash",
     }
     assert not (set(BENCH_QUERIES) & set(qs))

@@ -1,0 +1,76 @@
+"""Edge cases for the webtext-hygiene and sample-shaping operators
+(corpus-level value checks live in the q58-q63 oracles)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import packing as pk
+from pdf_parser_spark.operators import webtext_filters as wf
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+
+
+def test_canonicalize_url_rules(spark):
+    cases = {
+        "HTTPS://Ex.COM/Path?utm_source=a&id=3&gclid=z#frag": "https://ex.com/Path?id=3",
+        "http://host.com/": "http://host.com",
+        "http://host.com/a/": "http://host.com/a/",  # only bare-host slash drops
+        "host.com/no-scheme?utm_medium=x": "host.com/no-scheme",
+        "https://UPPER.com/KeepCase?ref=t": "https://upper.com/KeepCase",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u: string")
+    got = {r["u"]: r["c"] for r in df.select("u", wf.canonicalize_url(F.col("u")).alias("c")).collect()}
+    assert got == cases
+
+
+def test_line_dup_stats_edges(spark):
+    empty = wf.line_dup_stats(_one(spark, "")).first()
+    assert (empty["dup_line_frac"], empty["dup_line_char_frac"]) == (0.0, 0.0)
+    uniq = wf.line_dup_stats(_one(spark, "aa\nbb\ncc")).first()
+    assert (uniq["dup_line_frac"], uniq["dup_line_char_frac"]) == (0.0, 0.0)
+    same = wf.line_dup_stats(_one(spark, "xy\nxy\nxy")).first()
+    assert round(same["dup_line_frac"], 6) == round(2 / 3, 6)
+    assert round(same["dup_line_char_frac"], 6) == round(4 / 6, 6)
+
+
+def test_gopher_empty_and_short_docs(spark):
+    r = wf.gopher_quality_flags(_one(spark, "")).first()
+    assert r["g_n_words"] == 0 and r["gopher_keep"] is False
+    r2 = wf.gopher_quality_flags(_one(spark, "tiny doc")).first()
+    assert r2["g_n_words"] == 2 and r2["gopher_keep"] is False  # < min_words
+
+
+def test_pii_redact_clean_text_untouched(spark):
+    r = wf.pii_redact(_one(spark, "no personal data here")).first()
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (0, 0, 0)
+    assert r["text_redacted"] == "no personal data here"
+    r2 = wf.pii_redact(_one(spark, "mail a@b.co and c@d.org")).first()
+    assert r2["n_emails"] == 2 and r2["text_redacted"] == "mail <EMAIL> and <EMAIL>"
+
+
+def test_token_chunks_shapes(spark):
+    # 100 words, size 64 / stride 48 -> chunks at 0 (64w) and 48 (52w)
+    text = " ".join(f"w{i}" for i in range(100))
+    rows = {r["chunk_no"]: r for r in pk.token_chunks(_one(spark, text), size=64, overlap=16).collect()}
+    assert set(rows) == {0, 1, 2}  # ceil(100/48) = 3
+    assert rows[0]["n_words"] == 64 and rows[0]["first_word"] == "w0" and rows[0]["last_word"] == "w63"
+    assert rows[1]["n_words"] == 52 and rows[1]["first_word"] == "w48" and rows[1]["last_word"] == "w99"
+    assert rows[2]["n_words"] == 4 and rows[2]["first_word"] == "w96"
+    # empty doc: zero chunks
+    assert pk.token_chunks(_one(spark, "  ")).count() == 0
+
+
+def test_pack_sequences_boundaries(spark):
+    docs = [(i, "x", " ".join(["t"] * n)) for i, n in enumerate([1000, 1000, 100, 2048])]
+    df = spark.createDataFrame(docs, "doc_id: long, lang: string, text: string")
+    got = {r["doc_id"]: r["seq_id"] for r in pk.pack_sequences(df, budget=2048).collect()}
+    # before-mass: 0, 1000, 2000, 2100 -> seqs 0, 0, 0, 1
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1}
