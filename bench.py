@@ -101,6 +101,18 @@ def main() -> None:
         extract_sec = min(extract_sec, time.perf_counter() - t0)
     timings["extract_pipeline"] = round(extract_sec, 3)
 
+    # HTML boilerplate-strip leg (the north-rule DOM workload): same
+    # corpus, html binary column through the DOM tokenizer
+    from pdf_parser_spark.operators.html_extract import html_main_text
+
+    _force(html_main_text(ox.salted_repartition(docs, cpus * 2)))  # warmup
+    html_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(html_main_text(ox.salted_repartition(docs, cpus * 2)))
+        html_sec = min(html_sec, time.perf_counter() - t0)
+    timings["html_strip_pipeline"] = round(html_sec, 3)
+
     # per-query delta vs the previous round, human table on stderr so
     # stdout stays the single driver-contract JSON line
     prev = _prev_round_timings()
@@ -128,6 +140,7 @@ def main() -> None:
                     "cpus": cpus,
                     "extract_docs": n_docs,
                     "extract_docs_per_sec": round(n_docs / extract_sec, 2),
+                    "html_strip_docs_per_sec": round(n_docs / html_sec, 2),
                     "delta_vs_prev_sec": {
                         k: round(timings[k] - prev[k], 3) for k in timings if k in prev
                     },
