@@ -64,10 +64,23 @@ def ship_package(spark: SparkSession) -> None:
     addPyFile-ing it is the same mechanism `spark-submit --py-files`
     uses and works identically on a real cluster.
     """
+    import hashlib
+
     pkg_dir = pathlib.Path(__file__).resolve().parent.parent
-    zip_path = pathlib.Path(tempfile.gettempdir()) / f"pdf_parser_spark_{os.getpid()}.zip"
+    files = sorted(pkg_dir.rglob("*.py"))
+    # cache key = content fingerprint, NOT pid: a recycled pid (or a
+    # prior round's process) must never ship a stale zip of old code
+    fp = hashlib.sha1()
+    for py in files:
+        st = py.stat()
+        fp.update(f"{py.relative_to(pkg_dir)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    zip_path = (
+        pathlib.Path(tempfile.gettempdir()) / f"pdf_parser_spark_{fp.hexdigest()[:16]}.zip"
+    )
     if not zip_path.exists():
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for py in sorted(pkg_dir.rglob("*.py")):
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in files:
                 zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+        tmp.replace(zip_path)
     spark.sparkContext.addPyFile(str(zip_path))

@@ -1870,6 +1870,13 @@ def q55(spark, sf):
     keeps the bench honest about the OPERATOR rather than timing
     50k pandas constructions (real corpora amortize per-call cost
     over 100s of sections per document)."""
+    # the matcher closure references pdf_parser_spark.core on the
+    # Python WORKERS; the driver harness builds its own SparkSession
+    # (not plans.session.get_spark), so ship the package explicitly —
+    # sys.path mutations in the driver don't reach workers
+    from ..plans.session import ship_package
+
+    ship_package(spark)
     d = _t(spark, sf, "documents").where(F.col("doc_id") % 10 == 0)
     doc, title, pa, s1, s2, s3, sD = _doc_cols(d)
     toc = d.select(
