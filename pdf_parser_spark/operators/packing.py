@@ -66,20 +66,81 @@ def pack_sequences(
     key_col: str = "doc_id",
     by: str = "lang",
     budget: int = 2048,
+    shards: int | None = None,
 ) -> DataFrame:
     """Assign each document to a training sequence id: documents are
     taken in deterministic (key) order within each group, and a
     document starts in the sequence its cumulative predecessor mass
-    lands in — seq_id = floor(tokens_before / budget). One window
-    shuffle on the group key."""
-    w = Window.partitionBy(by).orderBy(key_col)
+    lands in — seq_id = floor(tokens_before / budget).
+
+    `shards=None` uses one window per group — fine when groups are
+    many/small. But the group key of a packing run is usually LOW
+    cardinality (a handful of languages), and Window.partitionBy puts
+    an entire group in ONE task: the corpus-scale hazard. `shards=S`
+    switches to an exact distributed prefix sum:
+
+      1. range-repartition on (by, key) into S ordered shards;
+      2. per-(group, shard) local cumsum — bounded window partitions;
+      3. per-(group, shard) totals (S·|groups| tiny rows) collected
+         once, turned into per-shard offsets, broadcast back.
+
+    The result is IDENTICAL to the single-window form for any shard
+    boundary placement (offsets absorb wherever sampling cuts the
+    ranges), so the scalable path needs no semantic caveats.
+    """
     toks = token_count(F.col(text_col))
     base = df.select(F.col(by), F.col(key_col), toks.alias("tokens"))
-    cum = F.sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    before = cum - F.col("tokens")
-    return base.select(
-        by,
-        key_col,
-        "tokens",
-        F.floor(before / F.lit(budget)).cast("bigint").alias("seq_id"),
+    if shards is None:
+        w = Window.partitionBy(by).orderBy(key_col)
+        cum = F.sum("tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        before = cum - F.col("tokens")
+        return base.select(
+            by,
+            key_col,
+            "tokens",
+            F.floor(before / F.lit(budget)).cast("bigint").alias("seq_id"),
+        )
+
+    ranged = base.repartitionByRange(shards, F.col(by), F.col(key_col)).withColumn(
+        "_shard", F.spark_partition_id()
+    )
+    w = Window.partitionBy(by, "_shard").orderBy(key_col)
+    local = ranged.withColumn(
+        "_local_before",
+        F.sum("tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("tokens"),
+    )
+    # persist before the two consumers: range boundaries come from
+    # SAMPLING, and recomputing the frame for the second action could
+    # re-draw them — totals and local cumsums must see ONE partitioning
+    local = local.persist()
+    totals = (
+        local.groupBy(by, "_shard")
+        .agg(F.sum("tokens").alias("_total"))
+        .collect()
+    )
+    offsets: dict[tuple, int] = {}
+    running: dict[str, int] = {}
+    for r in sorted(totals, key=lambda r: (r[by], r["_shard"])):
+        g = r[by]
+        offsets[(g, r["_shard"])] = running.get(g, 0)
+        running[g] = running.get(g, 0) + r["_total"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(g, s, o) for (g, s), o in offsets.items()],
+        f"{by}: string, _shard: int, _offset: long",
+    )
+    before = F.col("_local_before") + F.col("_offset")
+    return (
+        local.join(F.broadcast(off_df), on=[by, "_shard"])
+        .select(
+            by,
+            key_col,
+            "tokens",
+            F.floor(before / F.lit(budget)).cast("bigint").alias("seq_id"),
+        )
     )

@@ -2227,9 +2227,15 @@ def q62(spark, sf):
 def q63(spark, sf):
     """Concat-and-pack sequence assignment: deterministic doc order
     within each lang, seq_id = floor(cumulative-predecessor-tokens /
-    2048). One window shuffle on the group key; exact integer math."""
+    2048); exact integer math. Runs the SHARDED path (distributed
+    prefix sum over range partitions + broadcast offsets) — the form
+    that survives low-cardinality group keys at corpus scale — and the
+    oracle replays the single-window semantics, proving the two
+    formulations identical."""
     d = _t(spark, sf, "documents")
-    return pk.pack_sequences(d, text_col="text", key_col="doc_id", by="lang", budget=2048)
+    return pk.pack_sequences(
+        d, text_col="text", key_col="doc_id", by="lang", budget=2048, shards=4
+    )
 
 
 @register("q48x_winnowing_xxhash", bench_only=True)

@@ -74,3 +74,14 @@ def test_pack_sequences_boundaries(spark):
     got = {r["doc_id"]: r["seq_id"] for r in pk.pack_sequences(df, budget=2048).collect()}
     # before-mass: 0, 1000, 2000, 2100 -> seqs 0, 0, 0, 1
     assert got == {0: 0, 1: 0, 2: 0, 3: 1}
+
+
+def test_pack_sequences_sharded_equals_single_window(spark):
+    docs = [(i, ["en", "de", "es"][i % 3], " ".join(["t"] * (37 + (i * 13) % 300))) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id: long, lang: string, text: string")
+    single = {(r["lang"], r["doc_id"]): r["seq_id"] for r in pk.pack_sequences(df, budget=500).collect()}
+    sharded = {
+        (r["lang"], r["doc_id"]): r["seq_id"]
+        for r in pk.pack_sequences(df, budget=500, shards=7).collect()
+    }
+    assert sharded == single and len(single) == 200
