@@ -1,0 +1,141 @@
+"""Resumable corpus-curation job (spark-submit entry point).
+
+    spark-submit --py-files pdf_parser_spark.zip jobs/curate.py \
+        --input  /data/documents.parquet \
+        --outdir /data/curated \
+        [--resume] [--no-near-dups] [--cpus 32]
+
+The standard pre-training data hygiene pass, end to end:
+
+  documents(url, warc_ts, html, text, lang)
+    → anti-join already-curated urls            (resume checkpoint)
+    → Gopher quality flags + C4 dup-line stats  (native exprs)
+    → PII redaction (text := text_redacted)     (native exprs)
+    → exact dedup (min-url keeper per md5 fp)   (1 shuffle)
+    → MinHash-LSH near-dup prune (xxhash64,
+      banded, hot-bucket-capped, optional)      (bucketed, no O(n²))
+    → append curated rows to <outdir>/curated   (the checkpoint)
+    → stage-funnel metrics JSON                 (counts + drop rates)
+
+Same checkpoint/resume contract as jobs/extract.py: the curated table
+IS the checkpoint, `--resume` anti-joins its url set, idempotent per
+url. Quality thresholds are Gopher defaults; drops are counted per
+stage so a threshold change shows up in the funnel, never silently.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdf_parser_spark.operators import dedup as dd  # noqa: E402
+from pdf_parser_spark.operators import webtext_filters as wf  # noqa: E402
+from pdf_parser_spark.plans.session import get_spark  # noqa: E402
+from pdf_parser_spark.sources.corpus import read_documents  # noqa: E402
+
+MAX_DUP_LINE_FRAC = 0.3
+
+
+def run(
+    input_path: str,
+    outdir: str,
+    spark=None,
+    resume: bool = False,
+    near_dups: bool = True,
+    near_dup_threshold: float = 0.8,
+) -> dict:
+    spark = spark or get_spark(app_name="curate")
+    t0 = time.perf_counter()
+    out = Path(outdir)
+    curated_path = str(out / "curated")
+
+    docs = read_documents(spark, input_path)
+    n_input = docs.count()
+
+    already = 0
+    if resume and Path(curated_path).exists():
+        done = spark.read.parquet(curated_path).select("url").distinct()
+        already = done.count()
+        docs = docs.join(done, on="url", how="left_anti")
+
+    flagged = wf.line_dup_stats(wf.gopher_quality_flags(docs))
+    quality_ok = F.col("gopher_keep") & (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
+    funnel = flagged.agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.when(~F.col("gopher_keep"), 1).otherwise(0)).alias("drop_gopher"),
+        F.sum(
+            F.when(F.col("gopher_keep") & (F.col("dup_line_frac") > MAX_DUP_LINE_FRAC), 1).otherwise(0)
+        ).alias("drop_dup_lines"),
+    ).first()
+
+    kept = flagged.where(quality_ok)
+    redacted = wf.pii_redact(kept).withColumn("text", F.col("text_redacted"))
+    clean = redacted.select("url", "warc_ts", "html", "text", "lang")
+
+    survivors = dd.dedup_exact(clean, text_col="text", key_col="url")
+    n_after_exact = survivors.count()
+
+    n_near_dropped = 0
+    if near_dups and n_after_exact > 0:
+        pairs = dd.near_dup_pairs_minhash(
+            survivors, text_col="text", key_col="url", threshold=near_dup_threshold
+        )
+        losers = pairs.select(F.col("id_b").alias("url")).distinct()
+        n_near_dropped = losers.count()
+        survivors = survivors.join(losers, on="url", how="left_anti")
+
+    survivors.write.mode("append").parquet(curated_path)
+    n_curated = spark.read.parquet(curated_path).select("url").distinct().count()
+
+    n_new = funnel["n_new"] or 0
+    n_exact_dropped = (n_new - (funnel["drop_gopher"] or 0) - (funnel["drop_dup_lines"] or 0)) - n_after_exact
+    metrics = {
+        "input_docs": n_input,
+        "already_curated": already,
+        "new_docs": n_new,
+        "dropped_gopher": funnel["drop_gopher"] or 0,
+        "dropped_dup_lines": funnel["drop_dup_lines"] or 0,
+        "dropped_exact_dup": n_exact_dropped,
+        "dropped_near_dup": n_near_dropped,
+        "newly_curated": n_after_exact - n_near_dropped,
+        "total_curated": n_curated,
+        "wall_sec": round(time.perf_counter() - t0, 2),
+    }
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "curation_metrics.json").write_text(json.dumps(metrics, indent=2))
+    return metrics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-near-dups", dest="near_dups", action="store_false")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+    spark = get_spark(app_name="curate", cpus=args.cpus)
+    print(
+        json.dumps(
+            run(
+                args.input,
+                args.outdir,
+                spark=spark,
+                resume=args.resume,
+                near_dups=args.near_dups,
+                near_dup_threshold=args.near_dup_threshold,
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

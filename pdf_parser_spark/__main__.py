@@ -11,9 +11,12 @@ entries), re-expressed over corpus tables instead of one PDF:
   python -m pdf_parser_spark toc-graph --input docs.parquet --out graph/
   python -m pdf_parser_spark kg        --input docs.parquet --out triples/
   python -m pdf_parser_spark html-text --input docs.parquet --out text/
+  python -m pdf_parser_spark curate    --input docs.parquet --outdir curated/
 
 Every command is a thin shell over the operators; `extract` is the
-whole lifecycle in one pass (the reference's orchestrate.py).
+whole lifecycle in one pass (the reference's orchestrate.py), and
+`curate` is the training-data hygiene pass (quality filters, PII
+redaction, exact + near dedup) from jobs/curate.py.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="pdf_parser_spark", description=__doc__)
     ap.add_argument("command", choices=[
         "extract", "toc", "chunk", "validate", "metrics", "report",
-        "toc-graph", "kg", "html-text",
+        "toc-graph", "kg", "html-text", "curate",
     ])
     ap.add_argument("--input")
     ap.add_argument("--toc")
@@ -53,6 +56,11 @@ def main(argv: list[str] | None = None) -> None:
         from jobs.extract import run as run_job
 
         print(json.dumps(run_job(args.input, args.outdir, resume=args.resume, spark=spark)))
+        return
+    if args.command == "curate":
+        from jobs.curate import run as run_curate
+
+        print(json.dumps(run_curate(args.input, args.outdir, spark=spark, resume=args.resume)))
         return
 
     from .operators import extract as ox

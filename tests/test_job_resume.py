@@ -75,3 +75,34 @@ def test_bucketed_output_prunes_lookups(spark, tmp_path):
 
     second = run_job(corpus, out, resume=True, spark=spark, url_buckets=8)
     assert second["newly_extracted"] == 0 and second["total_extracted"] == 20
+
+
+def test_curate_funnel_and_resume(spark, tmp_path):
+    from jobs.curate import run as run_curate
+
+    corpus = str(tmp_path / "cdocs.parquet")
+    out = str(tmp_path / "curated_out")
+    write_documents(synthetic_documents(spark, 24, seed=42), corpus)
+
+    first = run_curate(corpus, out, spark=spark, resume=False)
+    assert first["input_docs"] == 24
+    # funnel accounting is complete: every new doc is either dropped at
+    # a named stage or curated
+    assert (
+        first["dropped_gopher"]
+        + first["dropped_dup_lines"]
+        + first["dropped_exact_dup"]
+        + first["dropped_near_dup"]
+        + first["newly_curated"]
+    ) == first["new_docs"] == 24
+    assert first["total_curated"] == first["newly_curated"] > 0
+
+    second = run_curate(corpus, out, spark=spark, resume=True)
+    assert second["already_curated"] == first["total_curated"]
+    assert second["newly_curated"] == 0
+    assert second["total_curated"] == first["total_curated"]
+
+    curated = spark.read.parquet(str(Path(out) / "curated"))
+    # curated rows keep the input_hint schema and PII-redacted text
+    assert set(curated.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert curated.count() == first["total_curated"]
