@@ -111,6 +111,56 @@ def html_main_text(
     return docs.select("url", "html").mapInPandas(run, schema=TEXT_SCHEMA)
 
 
+SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("block_no", T.IntegerType()),
+        T.StructField("char_start", T.IntegerType()),
+        T.StructField("char_end", T.IntegerType()),
+        T.StructField("tag_path", T.StringType()),
+    ]
+)
+
+
+def html_content_spans(
+    docs: DataFrame,
+    separator: str = "\f",
+    max_link_density: float = 0.33,
+    min_chars: int = 1,
+) -> DataFrame:
+    """documents → one row per CONTENT block with its [char_start,
+    char_end) span inside the html_main_text output for the same url —
+    the north-rule "chunk/span offsets" contract: downstream consumers
+    address the extracted text by offsets instead of re-carrying block
+    strings. Invariant (tested): extracted_text[char_start:char_end]
+    == block text, with `separator` between consecutive blocks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sep_len = len(separator)
+        for batch in batches:
+            rows = []
+            for url, html in zip(batch["url"], batch["html"]):
+                pos = 0
+                for b in segment_blocks(html):
+                    if not classify_block(b, max_link_density, min_chars):
+                        continue
+                    start = pos if pos == 0 else pos + sep_len
+                    end = start + len(b.text)
+                    rows.append(
+                        {
+                            "url": url,
+                            "block_no": b.block_no,
+                            "char_start": start,
+                            "char_end": end,
+                            "tag_path": b.tag_path,
+                        }
+                    )
+                    pos = end
+            yield pd.DataFrame(rows, columns=[f.name for f in SPAN_SCHEMA.fields])
+
+    return docs.select("url", "html").mapInPandas(run, schema=SPAN_SCHEMA)
+
+
 def boilerplate_stats(blocks: DataFrame) -> DataFrame:
     """Corpus rollup for threshold tuning: per tag_path, block counts,
     content share and mean link density (one hash agg)."""

@@ -93,3 +93,30 @@ def test_boilerplate_stats_rollup(spark):
     assert page_paths and all(rows[p]["content_share"] == 1.0 for p in page_paths)
     nav_paths = [p for p in rows if "nav" in p]
     assert nav_paths and all(rows[p]["content_share"] == 0.0 for p in nav_paths)
+
+
+def test_content_spans_address_extracted_text(spark):
+    """north-rule span contract: extracted_text[char_start:char_end]
+    equals the block's text for every content block, per url."""
+    from pyspark.sql import functions as F
+
+    docs = synthetic_documents(spark, 20, seed=42)
+    text = hx.html_main_text(docs, separator="\f").select("url", "extracted_text", "n_content_blocks")
+    spans = hx.html_content_spans(docs, separator="\f")
+    joined = spans.join(text, on="url")
+    # spans tile the extracted text: count matches, ends are in-bounds,
+    # and the addressed slice is non-empty exactly when blocks are
+    per_url = joined.groupBy("url", "n_content_blocks", F.length("extracted_text").alias("L")).agg(
+        F.count("*").alias("n_spans"), F.max("char_end").alias("max_end")
+    )
+    bad = per_url.where("n_spans != n_content_blocks OR max_end != L").count()
+    assert bad == 0
+    # slice identity on the first blocks (substring is 1-based)
+    sliced = joined.select(
+        F.expr("substring(extracted_text, char_start + 1, char_end - char_start)").alias("s"),
+        "char_start", "char_end", "url", "block_no",
+    )
+    blocks = hx.html_blocks(docs).where("is_content").select("url", "block_no", "text")
+    cmp = sliced.join(blocks, on=["url", "block_no"])
+    assert cmp.where("s != text").count() == 0
+    assert cmp.count() > 0

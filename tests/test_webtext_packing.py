@@ -85,3 +85,33 @@ def test_pack_sequences_sharded_equals_single_window(spark):
         for r in pk.pack_sequences(df, budget=500, shards=7).collect()
     }
     assert sharded == single and len(single) == 200
+
+
+def test_embedding_lsh_finds_near_identical_clusters(spark):
+    """Recall property of the banded hyperplane LSH: members of a
+    near-identical cluster (cosine ~1) must surface as pairs, and
+    cross-cluster orthogonal-ish pairs must be filtered by the cosine
+    verify."""
+    import math
+
+    from pdf_parser_spark.operators.dedup import embedding_near_dups_lsh
+
+    dim = 16
+
+    def vec(center, jitter):
+        return [float(center[i] + jitter * math.sin(i + 1)) for i in range(dim)]
+
+    c1 = [1.0 if i < 8 else 0.0 for i in range(dim)]
+    c2 = [0.0 if i < 8 else 1.0 for i in range(dim)]
+    rows = [(f"a{j}", vec(c1, 0.01 * j)) for j in range(4)] + [
+        (f"b{j}", vec(c2, 0.01 * j)) for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: string, embedding: array<float>")
+    pairs = embedding_near_dups_lsh(
+        df, key_col="vec_id", vec_col="embedding", threshold=0.95, bands=4, bits_per_band=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # all within-cluster pairs found (OR-amplified recall), none across
+    within = {(f"{p}{i}", f"{p}{j}") for p in "ab" for i in range(4) for j in range(i + 1, 4)}
+    assert within <= got
+    assert all(a[0] == b[0] for a, b in got)
