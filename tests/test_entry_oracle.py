@@ -89,3 +89,35 @@ def test_every_query_has_docstringed_callable(contract):
         "q48x_winnowing_xxhash",
     }
     assert not (set(BENCH_QUERIES) & set(qs))
+
+
+def test_gate_is_type_strict_on_hugeint(spark, con, contract):
+    """VERDICT r1 done-criterion: the local gate must REPRODUCE the
+    driver's type-sensitive verdict — an uncast integer SUM (DuckDB
+    HUGEINT → arrow decimal128) against Spark BIGINT must be red even
+    though every value is numerically equal."""
+    qs, _ = contract
+    oracle = __import__("__spark_entry__").oracle_sql()["q11_event_sessions"]
+    assert "CAST(SUM(new_session) AS BIGINT)" in oracle  # guard: fix targets the real SQL
+    tampered = oracle.replace("CAST(SUM(new_session) AS BIGINT)", "SUM(new_session)")
+    assert tampered != oracle
+    status, detail = compare_one(
+        spark, con, "q11_hugeint_canary", qs["q11_event_sessions"], tampered, SF
+    )
+    assert status == "fail" and "types differ" in detail and "decimal(38,0)" in detail
+
+
+def test_gate_is_bitwise_on_doubles(spark, con, contract):
+    """-0.0 vs 0.0 and last-ulp drift must be red: doubles compare by
+    bit pattern, not by %.10g canonicalization."""
+    qs, _ = contract
+    oracle = __import__("__spark_entry__").oracle_sql()["q59_line_dup_stats"]
+    tampered = oracle.replace(
+        "ROUND(CASE WHEN doc_id % 2 = 0 THEN 0.5 ELSE 1.0 / 3.0 END, 6) + 0.0",
+        "ROUND(CASE WHEN doc_id % 2 = 0 THEN 0.5 ELSE 1.0 / 3.0 END, 6) + 1e-13",
+    )
+    assert tampered != oracle
+    status, detail = compare_one(
+        spark, con, "q59_ulp_canary", qs["q59_line_dup_stats"], tampered, SF
+    )
+    assert status == "fail" and "values differ" in detail
