@@ -2247,3 +2247,78 @@ def q48x(spark, sf):
     return dedup.winnowed_fingerprints(
         d, text_col="text", key_col="doc_id", k=8, window=4, portable=False
     )
+
+
+# =====================================================================
+# Event analytics extras: conversion funnel + retention cohorts
+# =====================================================================
+
+
+@register(
+    "q64_conversion_funnel",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS signup_us
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, MAX(s.n_signups) AS n_signups,
+           CAST(SUM(CASE WHEN e.event_type = 'purchase' AND s.signup_us IS NOT NULL
+                              AND epoch_us(e.ts) >= s.signup_us THEN 1 ELSE 0 END) AS BIGINT)
+             AS conversions
+    FROM events e JOIN s ON e.user_id = s.user_id
+    GROUP BY e.user_id
+    """,
+)
+def q64(spark, sf):
+    """Conversion funnel: per user, purchases at-or-after their FIRST
+    signup. Two aggs on the same key (co-partitioned, AQE reuses the
+    exchange) + a broadcastable per-user signup table; exact unix
+    micros comparisons."""
+    e = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("n_signups"),
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("signup_us"),
+    )
+    j = e.join(F.broadcast(s), on="user_id")
+    conv = F.when(
+        (F.col("event_type") == "purchase")
+        & F.col("signup_us").isNotNull()
+        & (us >= F.col("signup_us")),
+        1,
+    ).otherwise(0)
+    return j.groupBy("user_id").agg(
+        F.max("n_signups").alias("n_signups"),
+        F.sum(conv).alias("conversions"),
+    )
+
+
+@register(
+    "q65_retention_cohorts",
+    """
+    WITH w AS (
+      SELECT user_id, CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS week
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+    SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM w JOIN f ON w.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q65(spark, sf):
+    """Retention cohorts: users bucketed by first-activity week, user
+    counts per (cohort_week, week_offset) — exact integer week math,
+    two aggs on user_id + one hash agg on the cohort grid."""
+    e = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = e.select("user_id", F.floor(us / F.lit(604_800_000_000)).cast("bigint").alias("week"))
+    f = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        w.join(F.broadcast(f), on="user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
