@@ -120,3 +120,34 @@ def test_content_spans_address_extracted_text(spark):
     cmp = sliced.join(blocks, on=["url", "block_no"])
     assert cmp.where("s != text").count() == 0
     assert cmp.count() > 0
+
+
+def test_tokenizer_never_throws_on_hostile_bytes():
+    """Fuzz the DOM tokenizer: arbitrary byte soup (invalid utf-8,
+    unbalanced tags, nul bytes, deep nesting) must yield blocks or
+    nothing — never raise. Parse-failure policy is accounting, not
+    task death."""
+    from hypothesis import given, settings, strategies as st
+
+    from pdf_parser_spark.core.html_extract import segment_blocks
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=4096))
+    def run(data):
+        blocks = segment_blocks(data)
+        assert isinstance(blocks, list)
+        for b in blocks:
+            assert b.n_chars == len(b.text)
+
+    run()
+
+    # targeted hostile shapes
+    for payload in [
+        b"<div" * 500,
+        b"<p>" + b"\xff\xfe" * 100 + b"</p>",
+        b"</p></div></html>",
+        b"<a href=" + b"x" * 10000,
+        ("<div>" * 200 + "deep" + "</div>" * 200).encode(),
+        b"\x00" * 64,
+    ]:
+        assert isinstance(segment_blocks(payload), list)

@@ -115,3 +115,25 @@ def test_embedding_lsh_finds_near_identical_clusters(spark):
     within = {(f"{p}{i}", f"{p}{j}") for p in "ab" for i in range(4) for j in range(i + 1, 4)}
     assert within <= got
     assert all(a[0] == b[0] for a, b in got)
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) over URL-ish fuzz (a canonical form
+    must be a fixed point, or dedup keys disagree between passes)."""
+    import random
+
+    rng = random.Random(7)
+    parts = ["HTTP://", "https://", "", "Host", "host", "x.Y.com", "/p/q", "/", ""]
+    params = ["utm_source=1", "id=2", "fbclid=zz", "a=b", "ref=x", ""]
+    urls = []
+    for _ in range(60):
+        u = rng.choice(parts[:3]) + rng.choice(parts[3:6]) + rng.choice(parts[6:])
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        urls.append(u + ("?" + q if q else "") + rng.choice(["", "#frag"]))
+    df = spark.createDataFrame([(u,) for u in urls], "u: string")
+    once = df.select(wf.canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select(F.col("c").alias("u")).select(
+        wf.canonicalize_url(F.col("u")).alias("c2"), F.col("u").alias("c")
+    )
+    diffs = twice.where("c2 != c").collect()
+    assert not diffs, diffs[:5]
