@@ -103,3 +103,36 @@ def stream_windowed_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_quality_rollup(
+    docs_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked corpus-hygiene dashboard: per (window, lang), doc
+    counts, Gopher-keep rate and PII density — the streaming twin of
+    the batch webtext tier (operators/webtext_filters), same column
+    expressions by construction, so stream/batch parity needs no
+    re-implementation. Exact integer sums; one final division."""
+    from ..operators.webtext_filters import gopher_quality_flags, pii_redact
+
+    ts = F.col("warc_ts").cast("timestamp")
+    flagged = pii_redact(gopher_quality_flags(docs_stream.withColumn("ts", ts)))
+    return (
+        flagged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("gopher_keep").cast("bigint")).alias("n_keep"),
+            F.sum((F.col("n_emails") + F.col("n_phones") + F.col("n_ips")).cast("bigint")).alias(
+                "n_pii"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang",
+            "docs",
+            "n_keep",
+            "n_pii",
+            (F.col("n_keep").cast("double") / F.col("docs")).alias("keep_rate"),
+        )
+    )

@@ -107,3 +107,63 @@ def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
     assert got2.count() == 3
     assert got2.where("url = 'u5'").count() == 1
     assert got2.where("url = 'u4'").count() == 0  # cross-batch duplicate suppressed
+
+
+def test_windowed_quality_rollup_matches_batch(spark, tmp_path):
+    """Stream/batch parity of the corpus-hygiene rollup: the streaming
+    watermarked agg over the full (drained) corpus must equal the same
+    expressions run as a batch agg."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.webtext_filters import gopher_quality_flags, pii_redact
+    from pdf_parser_spark.sources.corpus import synthetic_documents, write_documents
+    from pdf_parser_spark.streaming.stream import read_document_stream, windowed_quality_rollup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_documents(synthetic_documents(spark, 40, seed=42), src)
+
+    agg = windowed_quality_rollup(
+        read_document_stream(spark, src), window="10 minutes", watermark="1 minute"
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out)
+    batch = (
+        pii_redact(gopher_quality_flags(spark.read.parquet(src)))
+        .groupBy(F.window(F.col("warc_ts").cast("timestamp"), "10 minutes").alias("w"), "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("gopher_keep").cast("bigint")).alias("n_keep"),
+            F.sum(
+                (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")).cast("bigint")
+            ).alias("n_pii"),
+        )
+        .select(F.col("w.start").alias("window_start"), "lang", "docs", "n_keep", "n_pii")
+    )
+    got = {
+        (r["window_start"], r["lang"]): (r["docs"], r["n_keep"], r["n_pii"])
+        for r in streamed.collect()
+    }
+    want = {
+        (r["window_start"], r["lang"]): (r["docs"], r["n_keep"], r["n_pii"])
+        for r in batch.collect()
+    }
+    # append mode withholds windows the final watermark hasn't passed:
+    # everything emitted must match batch exactly, and all but the
+    # trailing watermark-held windows must have been emitted
+    assert len(got) > 0
+    assert all(got[k] == want[k] for k in got)
+    held = set(want) - set(got)
+    if held:
+        last_start = max(k[0] for k in want)
+        assert all((last_start - k[0]).total_seconds() <= 660 for k in held)
