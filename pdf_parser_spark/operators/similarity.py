@@ -220,6 +220,38 @@ def ivf_assign(
     return emb.withColumn("list_id", _nearest_centroid(F.col(vec_col), cents))
 
 
+def ivf_scores_dot(vec, cents: list[list[float]]) -> list:
+    """Per-centroid scores using the dot-product identity
+    ||v-c||² = ||v||² - 2·v·c + ||c||² with the ||v||² term dropped
+    (argmin-invariant): score_j = -2·v·c_j + ||c_j||². Cheaper than
+    the squared-difference fold (reuses plain dots) and — because
+    ||c_j||² is a PYTHON-computed literal and v·c_j is the same
+    fold/list_dot_product pair q46 proved bit-equal — replayable in an
+    ANSI oracle with identical IEEE results (q66)."""
+    scores = []
+    for c in cents:
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        c2 = 0.0
+        for x in c:
+            c2 += float(x) * float(x)
+        scores.append(F.lit(-2.0) * _dot(vec, cl) + F.lit(c2))
+    return scores
+
+
+def ivf_assign_dot(
+    emb: DataFrame, cents: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """ivf_assign with the oracle-parity scoring form; ties go to the
+    LOWEST centroid index (strict-improvement chain, same rule the
+    SQL CASE chain encodes)."""
+    scores = ivf_scores_dot(F.col(vec_col), cents)
+    best_id, best_s = F.lit(0), scores[0]
+    for j in range(1, len(scores)):
+        best_id = F.when(scores[j] < best_s, F.lit(j)).otherwise(best_id)
+        best_s = F.least(scores[j], best_s)
+    return emb.withColumn("list_id", best_id)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -2322,3 +2322,112 @@ def q65(spark, sf):
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# =====================================================================
+# IVF probe (oracle-parity scoring) + two-table as-of join
+# =====================================================================
+
+from ..operators import asof as ao  # noqa: E402
+
+_IVF_CENTS = [[((i * (j + 3)) % 17 - 8) / 8.0 for i in range(64)] for j in range(4)]
+
+
+def _py_dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _ivf_probe_id(qv, cents):
+    best_j, best_s = 0, None
+    for j, c in enumerate(cents):
+        s = -2.0 * _py_dot(qv, c) + _py_dot(c, c)
+        if best_s is None or s < best_s:
+            best_j, best_s = j, s
+    return best_j
+
+
+def _q66_oracle() -> str:
+    cl = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in _IVF_CENTS]
+    c2 = [repr(_py_dot(c, c)) for c in _IVF_CENTS]
+    scores = ", ".join(
+        f"-2.0 * list_dot_product(v, {cl[j]}) + {c2[j]} AS s{j}" for j in range(4)
+    )
+    probe = _ivf_probe_id(_QVEC, _IVF_CENTS)
+    return f"""
+WITH q AS (SELECT {_SQL_QVEC} AS qv),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+scored AS (SELECT vec_id, v, {scores} FROM base),
+assigned AS (
+  SELECT vec_id, v,
+         CASE WHEN s0 <= s1 AND s0 <= s2 AND s0 <= s3 THEN 0
+              WHEN s1 <= s2 AND s1 <= s3 THEN 1
+              WHEN s2 <= s3 THEN 2 ELSE 3 END AS list_id
+  FROM scored
+)
+SELECT vec_id, ROUND(cos_raw, 4) + 0.0 AS cosine FROM (
+  SELECT a.vec_id,
+         list_dot_product(a.v, q.qv)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos_raw
+  FROM assigned a, q WHERE a.list_id = {probe})
+ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+
+
+@register("q66_ivf_probe_topk", _q66_oracle())
+def q66(spark, sf):
+    """IVF coarse-quantized ANN with fixed centroids: assign each
+    vector to its nearest centroid via the dot-product identity
+    (argmin-invariant, oracle-replayable IEEE-exactly), probe only the
+    query's list, exact cosine top-k inside it. At scale list_id is
+    the storage partition key and the probe is partition pruning."""
+    e = _t(spark, sf, "embeddings")
+    assigned = sim.ivf_assign_dot(e, _IVF_CENTS)
+    probe = _ivf_probe_id(_QVEC, _IVF_CENTS)
+    pruned = assigned.where(F.col("list_id") == probe)
+    topk = sim.cosine_topk(pruned, _QVEC, k=10, key_col="vec_id", vec_col="embedding")
+    return topk.select("vec_id", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"))
+
+
+@register(
+    "q67_asof_join_orders",
+    """
+    SELECT e.event_id, e.user_id,
+           COALESCE((
+             SELECT MAX(o.o_orderkey) FROM orders o
+             WHERE o.o_custkey = e.user_id
+               AND epoch_us(o.o_orderdate) = (
+                 SELECT MAX(epoch_us(o2.o_orderdate)) FROM orders o2
+                 WHERE o2.o_custkey = e.user_id
+                   AND epoch_us(o2.o_orderdate) <= epoch_us(e.ts))
+           ), -1) AS last_orderkey
+    FROM events e
+    """,
+)
+def q67(spark, sf):
+    """Two-table as-of join (merge_asof backward-inclusive): for every
+    event, the user's most recent order at-or-before the event — union
+    + one window, ONE shuffle of |events|+|orders| rows, no range-join
+    pair blowup. Ties on order date resolve to the max orderkey (the
+    window tiebreak), nulls to -1."""
+    e = _t(spark, sf, "events")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    left = e.select("event_id", "user_id", "ts")
+    out = ao.asof_join_backward(
+        left,
+        o,
+        by="user_id",
+        left_ts=F.unix_micros(F.col("ts").cast("timestamp")),
+        right_ts=F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+        payload=F.col("o_orderkey"),
+        payload_name="last_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", F.coalesce("last_orderkey", F.lit(-1)).alias("last_orderkey")
+    )
