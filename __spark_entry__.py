@@ -5,8 +5,10 @@ repair → appendix-aware ordering) over the sf0.001 documents table.
 `queries()` / `oracle_sql()` expose the full suite from
 pdf_parser_spark/queries/suite.py: one entry per operator family in
 SURVEY.md §2 plus the training-data tier (dedup / similarity / text
-analysis). Keys present in queries() but absent from oracle_sql() are
-the xxhash64-based ops DuckDB cannot replay (rows-only check).
+analysis / webtext hygiene / sample shaping). Every queries() key has
+a full DuckDB value oracle — the xxhash64 twins DuckDB cannot replay
+live in suite.BENCH_QUERIES (timed by bench.py, value-checked via
+their portable-hash twins), NOT in the driver contract.
 """
 
 from __future__ import annotations
