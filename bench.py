@@ -59,6 +59,25 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _scaling_evidence() -> dict | None:
+    """Latest two-parallelism measurement (tools/scaling_bench.py
+    sidecar) — folded into the bench line so each BENCH_r{N}.json
+    carries the north-rule N-vs-4N evidence. Not re-measured here:
+    scaling runs need cold processes and an otherwise-idle box."""
+    p = Path(__file__).resolve().parent / "BENCH" / "scaling_last_run.json"
+    try:
+        d = json.loads(p.read_text())
+        return {
+            "low_cores": d["low"]["cores"],
+            "low_docs_per_sec": d["low"]["docs_per_sec"],
+            "high_cores": d["high"]["cores"],
+            "high_docs_per_sec": d["high"]["docs_per_sec"],
+            "efficiency": d["scaling_efficiency"],
+        }
+    except (OSError, KeyError, json.JSONDecodeError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -141,6 +160,7 @@ def main() -> None:
                     "extract_docs": n_docs,
                     "extract_docs_per_sec": round(n_docs / extract_sec, 2),
                     "html_strip_docs_per_sec": round(n_docs / html_sec, 2),
+                    "scaling": _scaling_evidence(),
                     "delta_vs_prev_sec": {
                         k: round(timings[k] - prev[k], 3) for k in timings if k in prev
                     },

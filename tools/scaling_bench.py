@@ -94,6 +94,11 @@ def main():
     }
     print(json.dumps(result))
 
+    # machine-readable sidecar: bench.py folds this into its JSON line
+    # so every BENCH_r{N}.json carries the north-rule scaling evidence
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "scaling_last_run.json").write_text(json.dumps(result, indent=2))
+
     md = REPO / "BENCH" / "scaling_last_run.md"
     md.parent.mkdir(exist_ok=True)
     md.write_text(
