@@ -137,3 +137,54 @@ def test_canonicalize_url_idempotent(spark):
     )
     diffs = twice.where("c2 != c").collect()
     assert not diffs, diffs[:5]
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The Schleimer/Wilkerson/Aiken guarantee, checked INDEPENDENTLY
+    of the SQL oracle (which replays the same pipeline and would
+    replicate a shared algorithmic bug): any two documents sharing a
+    substring of length >= k + window - 1 share at least one selected
+    fingerprint."""
+    import random
+
+    from pdf_parser_spark.operators.dedup import winnowed_fingerprints
+
+    rng = random.Random(11)
+    alphabet = "abcdefghij"
+    k, window = 8, 4  # guarantee threshold: 11 shared chars
+    shared = ["".join(rng.choice(alphabet) for _ in range(k + window - 1)) for _ in range(6)]
+    rows = []
+    for i, s in enumerate(shared):
+        left = "".join(rng.choice(alphabet) for _ in range(rng.randint(30, 200)))
+        right = "".join(rng.choice(alphabet) for _ in range(rng.randint(30, 200)))
+        rows.append((2 * i, left + s + right))
+        rows.append((2 * i + 1, s.join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(20, 90))) for _ in range(2)
+        )))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fps = winnowed_fingerprints(df, k=k, window=window, portable=False)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i in range(len(shared)):
+        assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fingerprint"
+
+
+def test_simhash_near_identical_small_hamming(spark):
+    """SimHash property (independent of the portable oracle): a doc
+    and a lightly-perturbed copy land within a small Hamming distance;
+    unrelated word-sets land far apart."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.dedup import simhash
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = " ".join(f"tok{i}" for i in range(198)) + " novel1 novel2"
+    far = " ".join(f"other{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id: long, text: string"
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=32).collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFF).count("1")
+    assert ham(sh[0], sh[1]) <= 6
+    assert ham(sh[0], sh[2]) >= 8
