@@ -50,11 +50,13 @@ def run(
     resume: bool = False,
     near_dups: bool = True,
     near_dup_threshold: float = 0.8,
+    quarantine: bool = True,
 ) -> dict:
     spark = spark or get_spark(app_name="curate")
     t0 = time.perf_counter()
     out = Path(outdir)
     curated_path = str(out / "curated")
+    quarantine_path = str(out / "quarantine")
 
     docs = read_documents(spark, input_path)
     n_input = docs.count()
@@ -82,6 +84,7 @@ def run(
     survivors = dd.dedup_exact(clean, text_col="text", key_col="url")
     n_after_exact = survivors.count()
 
+    losers = None
     n_near_dropped = 0
     if near_dups and n_after_exact > 0:
         pairs = dd.near_dup_pairs_minhash(
@@ -90,6 +93,29 @@ def run(
         losers = pairs.select(F.col("id_b").alias("url")).distinct()
         n_near_dropped = losers.count()
         survivors = survivors.join(losers, on="url", how="left_anti")
+
+    if quarantine:
+        # dropped rows never vanish: (url, reason) rows land in an
+        # accountable side table so a threshold change is auditable and
+        # rows can be re-adjudicated without re-reading the corpus
+        q_quality = flagged.where(~quality_ok).select(
+            "url",
+            F.when(~F.col("gopher_keep"), F.lit("gopher"))
+            .otherwise(F.lit("dup_lines"))
+            .alias("reason"),
+        )
+        keepers = survivors.select("url")
+        if losers is not None:
+            keepers = keepers.unionByName(losers)
+        q_exact = clean.join(keepers, on="url", how="left_anti").select(
+            "url", F.lit("exact_dup").alias("reason")
+        )
+        q_all = q_quality.unionByName(q_exact)
+        if losers is not None:
+            q_all = q_all.unionByName(
+                losers.select("url", F.lit("near_dup").alias("reason"))
+            )
+        q_all.write.mode("append").parquet(quarantine_path)
 
     survivors.write.mode("append").parquet(curated_path)
     n_curated = spark.read.parquet(curated_path).select("url").distinct().count()

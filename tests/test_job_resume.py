@@ -106,3 +106,26 @@ def test_curate_funnel_and_resume(spark, tmp_path):
     # curated rows keep the input_hint schema and PII-redacted text
     assert set(curated.columns) == {"url", "warc_ts", "html", "text", "lang"}
     assert curated.count() == first["total_curated"]
+
+
+def test_curate_quarantine_accounts_every_drop(spark, tmp_path):
+    from jobs.curate import run as run_curate
+
+    corpus = str(tmp_path / "qdocs.parquet")
+    out = str(tmp_path / "qcur")
+    write_documents(synthetic_documents(spark, 24, seed=42), corpus)
+    m = run_curate(corpus, out, spark=spark, resume=False)
+
+    quarantined = spark.read.parquet(str(Path(out) / "quarantine"))
+    by_reason = {r["reason"]: r["n"] for r in quarantined.groupBy("reason").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    assert by_reason.get("gopher", 0) == m["dropped_gopher"]
+    assert by_reason.get("dup_lines", 0) == m["dropped_dup_lines"]
+    assert by_reason.get("exact_dup", 0) == m["dropped_exact_dup"]
+    assert by_reason.get("near_dup", 0) == m["dropped_near_dup"]
+    # curated ∪ quarantined = every new input url, disjointly
+    curated = spark.read.parquet(str(Path(out) / "curated")).select("url")
+    q_urls = quarantined.select("url")
+    assert curated.intersect(q_urls).count() == 0
+    assert curated.union(q_urls).distinct().count() == 24
