@@ -2431,3 +2431,99 @@ def q67(spark, sf):
     return out.select(
         "event_id", "user_id", F.coalesce("last_orderkey", F.lit(-1)).alias("last_orderkey")
     )
+
+
+# =====================================================================
+# Relational classics: min-per-group join-back (TPC-H Q2 shape) and
+# scalar-subquery + anti-join (TPC-H Q22 shape)
+# =====================================================================
+
+
+@register(
+    "q68_min_cost_supplier",
+    """
+    WITH mp AS (
+      SELECT l_partkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    ),
+    winner AS (
+      SELECT l.l_partkey, mp.min_price, MIN(l.l_suppkey) AS s_key
+      FROM lineitem l JOIN mp ON l.l_partkey = mp.l_partkey
+                     AND CAST(l.l_extendedprice AS DECIMAL(18,2)) = mp.min_price
+      GROUP BY l.l_partkey, mp.min_price
+    )
+    SELECT p.p_partkey, CAST(w.min_price AS DOUBLE) AS min_price,
+           w.s_key AS s_suppkey, s.s_name
+    FROM winner w JOIN part p ON p.p_partkey = w.l_partkey
+                  JOIN supplier s ON s.s_suppkey = w.s_key
+    WHERE p.p_size < 10
+    """,
+)
+def q68(spark, sf):
+    """TPC-H Q2 shape: min-per-group + join-back to recover the
+    achieving row (exact decimal min, min-suppkey tiebreak) + two dim
+    joins — the decorrelated form of a correlated MIN subquery, which
+    is exactly what Catalyst rewrites such subqueries into."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    price = F.col("l_extendedprice").cast(_DEC2)
+    mp = li.groupBy("l_partkey").agg(F.min(price).alias("min_price"))
+    winner = (
+        li.join(mp, on="l_partkey")
+        .where(price == F.col("min_price"))
+        .groupBy("l_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("s_key"))
+    )
+    return (
+        winner.join(F.broadcast(p.where(F.col("p_size") < 10)), winner.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), winner.s_key == s.s_suppkey)
+        .select(
+            "p_partkey",
+            F.col("min_price").cast("double").alias("min_price"),
+            F.col("s_key").alias("s_suppkey"),
+            "s_name",
+        )
+    )
+
+
+@register(
+    "q69_idle_rich_customers",
+    """
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, thr
+    WHERE CAST(c.c_acctbal AS DOUBLE) > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_totalprice AS DECIMAL(18,2)) > 350000)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q69(spark, sf):
+    """TPC-H Q22 shape: global scalar threshold (exact decimal sum,
+    ONE double division) + NOT EXISTS anti-join (customers with no
+    LARGE order) + segment rollup — the scalar subquery stays in-plan
+    as a 1-row broadcast cross join, never a driver-side collect."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    bal = F.col("c_acctbal").cast(_DEC2)
+    thr = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(bal).cast("double") / F.count("*")).alias("avg_bal"))
+    )
+    big_orders = o.where(F.col("o_totalprice").cast(_DEC2) > 350000)
+    rich = (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(big_orders, c.c_custkey == big_orders.o_custkey, how="left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.sum(bal).cast("double").alias("total_bal"),
+    )
