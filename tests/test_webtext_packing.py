@@ -188,3 +188,58 @@ def test_simhash_near_identical_small_hamming(spark):
     ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFF).count("1")
     assert ham(sh[0], sh[1]) <= 6
     assert ham(sh[0], sh[2]) >= 8
+
+
+def test_metrics_native_twins_match_core(spark):
+    """The codegen'd predicates must agree with the byte-parity core
+    on boundary inputs (2000-word and 10000-char edges, empties)."""
+    from pdf_parser_spark.core.doc_metrics import count_tables_in_export
+    from pdf_parser_spark.core.matching import is_noisy_chunk
+    from pdf_parser_spark.operators.metrics_native import (
+        count_tables_in_export_native,
+        is_noisy_chunk_native,
+    )
+
+    contents = [
+        "",
+        "short text",
+        "abc " * 2000,          # exactly 2000 words -> clean
+        "abc " * 2001,          # 2001 -> noisy
+        "x" * 10000,            # exactly max_len -> clean
+        "x" * 10001,            # over -> noisy
+        "ab " * 3000,           # 2-letter words don't count
+        None,
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(contents)], "i: long, c: string")
+    got = {
+        r["i"]: r["noisy"]
+        for r in df.select("i", is_noisy_chunk_native(F.col("c")).alias("noisy")).collect()
+    }
+    for i, c in enumerate(contents):
+        assert got[i] == is_noisy_chunk({"content": c}), f"case {i}"
+
+    recs = [
+        {"tables": ["a", "b"], "content": "Table 9 ignored"},
+        {"tables": [], "content": "Table 9"},
+        {"tables_count": 7},
+        {"content": "Table 1.1 x Table 2 y"},
+        {"content": ""},
+        {},
+    ]
+    rows = [
+        (i, r.get("tables"), r.get("tables_count"), r.get("content")) for i, r in enumerate(recs)
+    ]
+    df2 = spark.createDataFrame(
+        rows, "i: long, tables: array<string>, tables_count: int, content: string"
+    )
+    got2 = {
+        r["i"]: r["n"]
+        for r in df2.select(
+            "i",
+            count_tables_in_export_native(
+                F.col("tables"), F.col("tables_count"), F.col("content")
+            ).alias("n"),
+        ).collect()
+    }
+    for i, r in enumerate(recs):
+        assert got2[i] == count_tables_in_export(r), f"rec {i}"
