@@ -129,3 +129,25 @@ def test_curate_quarantine_accounts_every_drop(spark, tmp_path):
     q_urls = quarantined.select("url")
     assert curated.intersect(q_urls).count() == 0
     assert curated.union(q_urls).distinct().count() == 24
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    from jobs.compact import run as run_compact
+
+    path = str(tmp_path / "frag")
+    docs = synthetic_documents(spark, 40, seed=42)
+    # fragment: 10 append batches -> many small files
+    for i in range(10):
+        docs.where(f"pmod(xxhash64(url), 10) = {i}").write.mode("append").parquet(path)
+    before = len(list(Path(path).rglob("*.parquet")))
+    assert before >= 10
+
+    m = run_compact(path, key="url", target_mb=64, spark=spark)
+    assert m["rows"] == 40
+    assert m["files_after"] < before
+    after = spark.read.parquet(path)
+    assert after.count() == 40
+    assert after.select("url").distinct().count() == 40
+    # no leftover tmp/old dirs
+    assert not Path(path + "__compact_tmp").exists()
+    assert not Path(path + "__old").exists()
