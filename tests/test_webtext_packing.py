@@ -243,3 +243,31 @@ def test_metrics_native_twins_match_core(spark):
     }
     for i, r in enumerate(recs):
         assert got2[i] == count_tables_in_export(r), f"rec {i}"
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """Statistical property (independent of the SQL replay): the
+    fraction of agreeing signature components estimates the true
+    shingle-set Jaccard. A banding/off-by-one bug that shifted hash
+    inputs on BOTH sides would pass the oracle but fail this."""
+    from pdf_parser_spark.operators.dedup import minhash_signatures, shingle_sets
+
+    # 300 shared words + 100/100 distinct -> shingle overlap known
+    shared = " ".join(f"s{i}" for i in range(300))
+    a = shared + " " + " ".join(f"a{i}" for i in range(100))
+    b = shared + " " + " ".join(f"b{i}" for i in range(100))
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id: long, text: string")
+    sets_df = shingle_sets(df, "text", "doc_id", n=3)
+    rows = {r["doc_id"]: set(r["sh"]) for r in sets_df.collect()}
+    true_j = len(rows[0] & rows[1]) / len(rows[0] | rows[1])
+
+    exploded = sets_df.select("doc_id", F.explode("sh").alias("shingle"))
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(exploded, num_hashes=64).collect()
+    }
+    agree = sum(1 for x, y in zip(sigs[0], sigs[1]) if x == y)
+    est = agree / 64.0
+    # sd = sqrt(j(1-j)/64) ~ 0.06; allow 4 sigma
+    assert abs(est - true_j) < 0.25, (est, true_j)
+    assert 0.4 < true_j < 0.8  # fixture sanity: mid-range Jaccard
