@@ -2,7 +2,7 @@
 
 Runs the same comparison the round driver performs (row count, sorted
 column names, order-insensitive value multiset) for a representative
-subset at sf0.001 — full 35-query sweep lives in tools/check_oracle.py
+subset at sf0.001 — full 66-query sweep lives in tools/check_oracle.py
 (kept out of the default pytest run for time).
 """
 
