@@ -66,18 +66,20 @@ def pack_sequences(
     key_col: str = "doc_id",
     by: str = "lang",
     budget: int = 2048,
-    shards: int | None = None,
+    shards: int | str | None = "auto",
 ) -> DataFrame:
     """Assign each document to a training sequence id: documents are
     taken in deterministic (key) order within each group, and a
     document starts in the sequence its cumulative predecessor mass
     lands in — seq_id = floor(tokens_before / budget).
 
-    `shards=None` uses one window per group — fine when groups are
-    many/small. But the group key of a packing run is usually LOW
-    cardinality (a handful of languages), and Window.partitionBy puts
-    an entire group in ONE task: the corpus-scale hazard. `shards=S`
-    switches to an exact distributed prefix sum:
+    The group key of a packing run is usually LOW cardinality (a
+    handful of languages), and a plain Window.partitionBy puts an
+    entire group in ONE task: the corpus-scale hazard. The DEFAULT
+    (`shards="auto"`, resolved to the session's defaultParallelism)
+    therefore runs an exact distributed prefix sum; `shards=None`
+    opts into the single whole-group window (only sensible for tiny
+    frames or oracle replay):
 
       1. range-repartition on (by, key) into S ordered shards;
       2. per-(group, shard) local cumsum — bounded window partitions;
@@ -90,6 +92,8 @@ def pack_sequences(
     """
     toks = token_count(F.col(text_col))
     base = df.select(F.col(by), F.col(key_col), toks.alias("tokens"))
+    if shards == "auto":
+        shards = df.sparkSession.sparkContext.defaultParallelism
     if shards is None:
         w = Window.partitionBy(by).orderBy(key_col)
         cum = F.sum("tokens").over(
@@ -124,15 +128,26 @@ def pack_sequences(
         .collect()
     )
     offsets: dict[tuple, int] = {}
-    running: dict[str, int] = {}
+    running: dict[object, int] = {}
     for r in sorted(totals, key=lambda r: (r[by], r["_shard"])):
         g = r[by]
         offsets[(g, r["_shard"])] = running.get(g, 0)
         running[g] = running.get(g, 0) + r["_total"]
+    # offsets schema mirrors the ACTUAL group-key dtype (an int lang
+    # id must not be round-tripped through string, or the broadcast
+    # join below mis-keys)
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     spark = df.sparkSession
+    off_schema = StructType(
+        [
+            StructField(by, base.schema[by].dataType),
+            StructField("_shard", IntegerType()),
+            StructField("_offset", LongType()),
+        ]
+    )
     off_df = spark.createDataFrame(
-        [(g, s, o) for (g, s), o in offsets.items()],
-        f"{by}: string, _shard: int, _offset: long",
+        [(g, s, o) for (g, s), o in offsets.items()], off_schema
     )
     before = F.col("_local_before") + F.col("_offset")
     return (

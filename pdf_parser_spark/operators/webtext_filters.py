@@ -32,7 +32,10 @@ PHONE_RX = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
 IPV4_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _ELLIPSIS_RX = r"(\.\.\.|…)"
 _BULLET_RX = r"^[\s]*[-*•]"
-_TRACKING_PARAM_RX = r"(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+# anchored to a preceding ? or & so 'ref=' never matches inside a
+# longer parameter name (e.g. 'href='); the separator is captured and
+# put back, then the '?&'/'&&' litter is collapsed by the caller
+_TRACKING_PARAM_RX = r"([?&])(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
 
 
 def _words(col: Column) -> Column:
@@ -105,19 +108,25 @@ def line_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         (n - n_distinct) / n.cast("double")
     )
     # sort lines, then: every element equal to its predecessor is a
-    # beyond-first repeat; accumulate its length
+    # beyond-first repeat; accumulate its length. Iterate i in [2, n]
+    # comparing element i to i-1 — the n<=1 guard matters because
+    # F.sequence(2, 1) would produce the DESCENDING [2, 1] (not an
+    # empty list), and under ANSI mode element_at on the 1-element
+    # array would abort the whole job for a single-line document.
     sorted_lines = F.array_sort(lines)
     total_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    dup_chars = F.aggregate(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.element_at(sorted_lines, i + 1) == F.element_at(sorted_lines, i),
-            F.length(F.element_at(sorted_lines, i + 1)).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    dup_chars = F.when(n <= 1, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(2), n),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(sorted_lines, i) == F.element_at(sorted_lines, i - 1),
+                F.length(F.element_at(sorted_lines, i)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
     )
     dup_char_frac = F.when(total_chars == 0, F.lit(0.0)).otherwise(
         dup_chars / total_chars.cast("double")
@@ -151,7 +160,7 @@ def canonicalize_url(url: Column) -> Column:
     strip tracking params (utm_*, fbclid, gclid, ref), collapse the
     leftover '?&'/'?' litter, drop one trailing slash on a bare path."""
     u = F.regexp_replace(url, r"#.*$", "")
-    u = F.regexp_replace(u, _TRACKING_PARAM_RX, "")
+    u = F.regexp_replace(u, _TRACKING_PARAM_RX, "$1")
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&{2,}", "&")

@@ -25,6 +25,9 @@ def test_canonicalize_url_rules(spark):
         "http://host.com/a/": "http://host.com/a/",  # only bare-host slash drops
         "host.com/no-scheme?utm_medium=x": "host.com/no-scheme",
         "https://UPPER.com/KeepCase?ref=t": "https://upper.com/KeepCase",
+        # 'ref=' must NOT match inside a longer param name (href=)
+        "https://ex.com/page?href=X&id=1": "https://ex.com/page?href=X&id=1",
+        "https://ex.com/p?id=1&ref=x&b=2": "https://ex.com/p?id=1&b=2",
     }
     df = spark.createDataFrame([(u,) for u in cases], "u: string")
     got = {r["u"]: r["c"] for r in df.select("u", wf.canonicalize_url(F.col("u")).alias("c")).collect()}
@@ -39,6 +42,12 @@ def test_line_dup_stats_edges(spark):
     same = wf.line_dup_stats(_one(spark, "xy\nxy\nxy")).first()
     assert round(same["dup_line_frac"], 6) == round(2 / 3, 6)
     assert round(same["dup_line_char_frac"], 6) == round(4 / 6, 6)
+    # exactly ONE non-empty line: the descending-sequence footgun
+    # (F.sequence(1, 0) == [1, 0]) used to abort under ANSI mode
+    one = wf.line_dup_stats(_one(spark, "only line")).first()
+    assert (one["dup_line_frac"], one["dup_line_char_frac"]) == (0.0, 0.0)
+    one_pad = wf.line_dup_stats(_one(spark, "\n  \nonly line\n")).first()
+    assert (one_pad["dup_line_frac"], one_pad["dup_line_char_frac"]) == (0.0, 0.0)
 
 
 def test_gopher_empty_and_short_docs(spark):
@@ -85,6 +94,38 @@ def test_pack_sequences_sharded_equals_single_window(spark):
         for r in pk.pack_sequences(df, budget=500, shards=7).collect()
     }
     assert sharded == single and len(single) == 200
+
+
+def test_pack_sequences_sharded_int_group_key(spark):
+    """The broadcast offsets frame must mirror the group key's real
+    dtype — an int language id must survive the sharded path."""
+    docs = [(i, i % 3, " ".join(["t"] * (20 + (i * 7) % 100))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id: long, lang: int, text: string")
+    single = {(r["lang"], r["doc_id"]): r["seq_id"] for r in pk.pack_sequences(df, budget=300, shards=None).collect()}
+    sharded = {
+        (r["lang"], r["doc_id"]): r["seq_id"]
+        for r in pk.pack_sequences(df, budget=300, shards=5).collect()
+    }
+    assert sharded == single and len(single) == 60
+
+
+def test_pack_sequences_default_is_sharded(spark):
+    """The DEFAULT call must take the distributed prefix-sum path:
+    no whole-group Window (which would put an entire language in one
+    task at corpus scale) may appear in the default plan."""
+    docs = [(i, ["en", "de"][i % 2], " ".join(["t"] * 50)) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id: long, lang: string, text: string")
+    default = pk.pack_sequences(df, budget=500)
+    plan = default._jdf.queryExecution().optimizedPlan().toString()
+    # the sharded path windows over (lang, _shard) and joins broadcast
+    # offsets; the unscalable form windows over lang alone
+    assert "_shard" in plan
+    got = {(r["lang"], r["doc_id"]): r["seq_id"] for r in default.collect()}
+    want = {
+        (r["lang"], r["doc_id"]): r["seq_id"]
+        for r in pk.pack_sequences(df, budget=500, shards=None).collect()
+    }
+    assert got == want
 
 
 def test_embedding_lsh_finds_near_identical_clusters(spark):
