@@ -33,23 +33,35 @@ ALL_QUERIES = {**SPARK_QUERIES, **BENCH_QUERIES}
 HEADLINE = sorted(ALL_QUERIES)
 
 
-def _prev_round_timings() -> dict[str, float]:
+def _prev_round_timings(sf_dir: str) -> dict[str, float]:
     """Latest BENCH_r*.json queries dict (driver wraps our line in
     {'tail': ...}; the JSON line is embedded at the end of tail)."""
     import re
 
     here = Path(__file__).resolve().parent
     paths = sorted(here.glob("BENCH_r*.json"))
-    if not paths:
-        return {}
+    for p in reversed(paths):
+        try:
+            blob = json.loads(p.read_text())
+            if isinstance(blob, dict) and "queries" in blob:
+                return blob["queries"]
+            parsed = blob.get("parsed") if isinstance(blob, dict) else None
+            if isinstance(parsed, dict) and "queries" in parsed:
+                return parsed["queries"]
+            tail = blob.get("tail", "") if isinstance(blob, dict) else ""
+            m = re.search(r'\{"metric".*\}', tail)
+            if m:
+                return json.loads(m.group(0)).get("queries", {})
+        except (json.JSONDecodeError, OSError):
+            continue
+    # round record unusable (e.g. r2's truncated tail): fall back to
+    # our own last full record, but only at the SAME scale factor —
+    # deltas across sf are noise
     try:
-        blob = json.loads(paths[-1].read_text())
-        if isinstance(blob, dict) and "queries" in blob:
-            return blob["queries"]
-        tail = blob.get("tail", "") if isinstance(blob, dict) else ""
-        m = re.search(r'\{"metric".*\}', tail)
-        if m:
-            return json.loads(m.group(0)).get("queries", {})
+        blob = json.loads((here / "BENCH" / "last_run.json").read_text())
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        if str(blob.get("sf")) == sf:
+            return blob.get("queries", {})
     except (json.JSONDecodeError, OSError):
         pass
     return {}
@@ -134,7 +146,7 @@ def main() -> None:
 
     # per-query delta vs the previous round, human table on stderr so
     # stdout stays the single driver-contract JSON line
-    prev = _prev_round_timings()
+    prev = _prev_round_timings(sf_dir)
     if prev:
         print(f"{'query':<34}{'prev':>8}{'now':>8}{'delta':>8}", file=sys.stderr)
         for name in HEADLINE + ["extract_pipeline"]:
@@ -147,27 +159,31 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_plus_extraction_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extra": {
-                    "cpus": cpus,
-                    "extract_docs": n_docs,
-                    "extract_docs_per_sec": round(n_docs / extract_sec, 2),
-                    "html_strip_docs_per_sec": round(n_docs / html_sec, 2),
-                    "scaling": _scaling_evidence(),
-                    "delta_vs_prev_sec": {
-                        k: round(timings[k] - prev[k], 3) for k in timings if k in prev
-                    },
-                },
-            }
-        )
-    )
+    headline = {
+        "metric": "suite_plus_extraction_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extra": {
+            "cpus": cpus,
+            "extract_docs": n_docs,
+            "extract_docs_per_sec": round(n_docs / extract_sec, 2),
+            "html_strip_docs_per_sec": round(n_docs / html_sec, 2),
+            "scaling": _scaling_evidence(),
+        },
+    }
+    # full record (headline + per-query delta map) goes to a FILE; the
+    # stdout line stays compact — round 2's line grew past the driver's
+    # tail-capture window and BENCH_r02 recorded parsed:null
+    full = json.loads(json.dumps(headline))
+    full["extra"]["delta_vs_prev_sec"] = {
+        k: round(timings[k] - prev[k], 3) for k in timings if k in prev
+    }
+    out_dir = Path(__file__).resolve().parent / "BENCH"
+    out_dir.mkdir(exist_ok=True)
+    (out_dir / "last_run.json").write_text(json.dumps(full, indent=1))
+    print(json.dumps(headline, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,16 @@ from pdf_parser_spark.plans.session import get_spark  # noqa: E402
 
 
 def run(path: str, key: str | None = None, target_mb: int = 128, spark=None) -> dict:
+    # the size probe and the atomic swap below use the LOCAL
+    # filesystem (Path.rglob / rename); on an object-store URI the
+    # probe would find 0 bytes (single-partition rewrite of the whole
+    # table) and the swap would fail after the tmp write. Fail fast —
+    # on Iceberg/object stores use rewrite_data_files (RUNBOOK).
+    if "://" in path:
+        raise ValueError(
+            f"jobs/compact.py operates on local filesystem paths only, got {path!r}; "
+            "for object-store tables use Iceberg rewrite_data_files (docs/RUNBOOK.md)"
+        )
     spark = spark or get_spark(app_name="compact")
     t0 = time.perf_counter()
     p = Path(path)
@@ -45,13 +55,20 @@ def run(path: str, key: str | None = None, target_mb: int = 128, spark=None) -> 
     n_parts = max(1, math.ceil(bytes_total / (target_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
-    rows_before = df.count()
     out = df.repartitionByRange(n_parts, key) if key else df.repartition(n_parts)
+
+    # row-count invariant rides the write itself (observe() metric):
+    # one pass over the data instead of a separate count job
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation("compact_rows")
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
 
     tmp = str(p) + "__compact_tmp"
     old = str(p) + "__old"
     shutil.rmtree(tmp, ignore_errors=True)
     out.write.mode("overwrite").parquet(tmp)
+    rows_before = obs.get["n"]
 
     rows_after = spark.read.parquet(tmp).count()
     if rows_after != rows_before:

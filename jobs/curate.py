@@ -62,12 +62,27 @@ def run(
     n_input = docs.count()
 
     already = 0
-    if resume and Path(curated_path).exists():
-        done = spark.read.parquet(curated_path).select("url").distinct()
-        already = done.count()
-        docs = docs.join(done, on="url", how="left_anti")
+    if resume:
+        # resume must skip BOTH prior outcomes: curated urls (the
+        # checkpoint) and quarantined urls — otherwise every resume
+        # re-runs the full funnel on previously-dropped docs and
+        # re-appends duplicate (url, reason) quarantine rows
+        seen = None
+        if Path(curated_path).exists():
+            done = spark.read.parquet(curated_path).select("url").distinct()
+            already = done.count()
+            seen = done
+        if quarantine and Path(quarantine_path).exists():
+            q_seen = spark.read.parquet(quarantine_path).select("url")
+            seen = q_seen if seen is None else seen.unionByName(q_seen)
+        if seen is not None:
+            docs = docs.join(seen.distinct(), on="url", how="left_anti")
 
-    flagged = wf.line_dup_stats(wf.gopher_quality_flags(docs))
+    # persist the flagged stage: the funnel agg below materializes it
+    # once, and every later consumer (survivor build, quarantine side
+    # table) reads the cache instead of re-running the Gopher/dup-line
+    # scan over the input — the whole job makes ONE pass over raw docs
+    flagged = wf.line_dup_stats(wf.gopher_quality_flags(docs)).persist()
     quality_ok = F.col("gopher_keep") & (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
     funnel = flagged.agg(
         F.count("*").alias("n_new"),
@@ -81,7 +96,12 @@ def run(
     redacted = wf.pii_redact(kept).withColumn("text", F.col("text_redacted"))
     clean = redacted.select("url", "warc_ts", "html", "text", "lang")
 
-    survivors = dd.dedup_exact(clean, text_col="text", key_col="url")
+    # persist the post-exact-dedup stage too: it feeds the near-dup
+    # pass, the anti-join, the curated write and the quarantine exact
+    # part — without the cache the md5-groupBy would re-execute per
+    # consumer
+    exact_survivors = dd.dedup_exact(clean, text_col="text", key_col="url").persist()
+    survivors = exact_survivors
     n_after_exact = survivors.count()
 
     losers = None
@@ -136,6 +156,8 @@ def run(
     }
     out.mkdir(parents=True, exist_ok=True)
     (out / "curation_metrics.json").write_text(json.dumps(metrics, indent=2))
+    flagged.unpersist()
+    exact_survivors.unpersist()
     return metrics
 
 

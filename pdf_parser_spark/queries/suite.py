@@ -1332,7 +1332,7 @@ def _q45_oracle() -> str:
     return f"""
 WITH words AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-  FROM documents WHERE trim(text) <> ''
+  FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 0
 ),
 g AS (
   SELECT doc_id, shingle FROM (
@@ -1393,8 +1393,14 @@ def q45(spark, sf):
     """The ENTIRE MinHash→LSH→verify near-dup pipeline value-checked
     against SQL: the portable md5-derived hash lets DuckDB replay
     shingling, 16-seed signatures, 4-band bucketing (with the
-    hot-bucket cap), candidate pairing and Jaccard verification."""
-    d = _t(spark, sf, "documents")
+    hot-bucket cap), candidate pairing and Jaccard verification.
+
+    Runs on a 1-in-2 document sample (q55's pattern): the md5 parity
+    twin was the suite's heaviest leg at full table, and the
+    production xxhash64 path (q33, bench-only) still runs the full
+    table. 6 pairs survive at sf0.01, 67 at sf0.1 — a non-trivial
+    value check at every fixture scale."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") % 2 == 0)
     pairs = dedup.near_dup_pairs_minhash(
         d, text_col="text", key_col="doc_id",
         num_hashes=_P_HASHES, bands=_P_BANDS, threshold=0.7, portable=True,
