@@ -9,12 +9,12 @@ implemented here over a codec-agnostic block representation:
 
   - `assemble_page(blocks)` reproduces the reference's sort+join
     byte-for-byte given the same blocks;
-  - `decode_pdf_pages(data)` is the codec seam: with PyMuPDF
-    installed it would yield real blocks per page (same body as the
-    reference loop); this container has no PDF codec, so it decodes
-    the deterministic FPDF fake container (length-prefixed blocks
-    with float coords) and raises NotImplementedError for real PDF
-    bytes — the multimodal stub pattern (operators/multimodal.py).
+  - `decode_pdf_pages(data)` is the codec seam: PyMuPDF blocks when
+    installed (same body as the reference loop), else pdfplumber,
+    else the vendored pure-Python `minipdf` reader (classic xref +
+    FlateDecode subset, stdlib-only) — so real %PDF bytes decode in
+    THIS container too. The deterministic FPDF fake container remains
+    the golden-test path (length-prefixed blocks with float coords).
 """
 
 from __future__ import annotations
@@ -48,13 +48,15 @@ def encode_fake_pdf(pages: list[list[tuple[float, float, str]]]) -> bytes:
 
 
 def _decode_real_pdf(data: bytes) -> list[list[tuple[float, float, str]]]:
-    """Real-PDF body, import-gated (VERDICT r1 item 7): PyMuPDF blocks
-    first (reference utils.py:207-230 — b[0]=x0, b[1]=y0, b[4]=text),
-    else pdfplumber per-page text as one block per line (the
-    reference's pdfplumber path, utils.py:171-205, is line-oriented —
-    y0=line index preserves reading order through assemble_page).
-    Neither lib ships in this sandbox, so here this raises; where the
-    libs exist the same call decodes real corpora unchanged."""
+    """Real-PDF body, three tiers: PyMuPDF blocks first (reference
+    utils.py:207-230 — b[0]=x0, b[1]=y0, b[4]=text), else pdfplumber
+    per-page text as one block per line (the reference's pdfplumber
+    path, utils.py:171-205, is line-oriented — y0=line index preserves
+    reading order through assemble_page), else the vendored pure-Python
+    minipdf reader (stdlib zlib; classic/FlateDecode subset) so real
+    %PDF bytes decode even in codec-less containers like this one.
+    minipdf raises ValueError with a reason for its documented
+    out-of-scope cases (encryption, /ObjStm, non-Flate filters)."""
     import io
 
     try:
@@ -79,15 +81,16 @@ def _decode_real_pdf(data: bytes) -> list[list[tuple[float, float, str]]]:
                 )
         return pages
     except ImportError:
-        raise NotImplementedError(
-            "real PDF bytes but no codec installed (pip install PyMuPDF or pdfplumber)"
-        ) from None
+        from .minipdf import extract_pdf_blocks
+
+        return extract_pdf_blocks(data)
 
 
 def decode_pdf_pages(data: bytes) -> list[list[tuple[float, float, str]]]:
     """→ per-page positioned blocks. FPDF fake container decodes
-    natively (deterministic test path); real %PDF bytes go through the
-    import-gated PyMuPDF/pdfplumber body; anything else raises."""
+    natively (deterministic test path); real %PDF bytes go through
+    PyMuPDF/pdfplumber when installed, else the vendored minipdf
+    reader; non-PDF containers raise."""
     if data[:4] != MAGIC:
         if data[:5] == b"%PDF-":
             return _decode_real_pdf(data)

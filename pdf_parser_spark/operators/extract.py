@@ -170,6 +170,102 @@ def extract_documents_from_html(
     return extract_documents(texts, min_dots=min_dots, strip_dots=strip_dots)
 
 
+PDF_PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def pdf_pages_table(docs: DataFrame, pdf_col: str = "pdf") -> DataFrame:
+    """PDF binary column → one (url, page_no, text) row per page.
+
+    The codec seam (core/pdf_layout.decode_pdf_pages) handles real
+    %PDF bytes in-container via the vendored minipdf reader — PyMuPDF/
+    pdfplumber take over transparently where installed (reference
+    utils.py:171-230). Decode failures become status rows (page_no 0),
+    never task failures — same accounting contract as extract_documents.
+    One mapInPandas pass, zero shuffles; rows out ∝ pages."""
+    from ..core.pdf_layout import pdf_to_page_texts
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, data in zip(batch["url"], batch[pdf_col]):
+                try:
+                    for page_no, text in pdf_to_page_texts(bytes(data)):
+                        rows.append(
+                            {"url": url, "status": "ok", "page_no": page_no, "text": text}
+                        )
+                except NotImplementedError:
+                    rows.append(
+                        {"url": url, "status": "unsupported_codec", "page_no": 0, "text": None}
+                    )
+                except Exception:
+                    rows.append(
+                        {"url": url, "status": "decode_error", "page_no": 0, "text": None}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in PDF_PAGES.fields])
+
+    return docs.select("url", pdf_col).mapInPandas(run, schema=PDF_PAGES)
+
+
+def extract_documents_from_pdf(
+    docs: DataFrame, pdf_col: str = "pdf", min_dots: int = 0, strip_dots: bool = False
+) -> DataFrame:
+    """Same lifecycle as extract_documents, but the page-marked text is
+    recovered from a PDF binary column first: decode → per-page
+    reading-order assembly → form-feed page markers → the standard
+    per-document pipeline. Both passes are mapInPandas (zero
+    cross-document shuffles); undecodable rows surface as
+    status='error' rows with the decode reason, keeping the
+    parse-failure accounting unbroken."""
+    from ..core.pages import PAGE_BREAK
+    from ..core.pdf_layout import pdf_to_page_texts
+
+    def to_text(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, data in zip(batch["url"], batch[pdf_col]):
+                try:
+                    text = PAGE_BREAK.join(
+                        t for _, t in pdf_to_page_texts(bytes(data))
+                    )
+                    rows.append({"url": url, "text": text, "decode_error": None})
+                except Exception as e:
+                    rows.append({"url": url, "text": None, "decode_error": str(e)[:200]})
+            yield pd.DataFrame(rows, columns=["url", "text", "decode_error"])
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+    texts = docs.select("url", pdf_col).mapInPandas(to_text, schema=schema)
+    ok = texts.where(F.col("decode_error").isNull()).select("url", "text")
+    extracted = extract_documents(ok, min_dots=min_dots, strip_dots=strip_dots)
+    failed = texts.where(F.col("decode_error").isNotNull()).select(
+        "url",
+        F.lit("error").alias("status"),
+        F.col("decode_error").alias("error"),
+        F.lit(0).alias("n_pages"),
+        F.lit(None).cast("int").alias("toc_start"),
+        F.lit(None).cast("int").alias("toc_end"),
+        F.lit(None).cast(EXTRACTED["toc"].dataType).alias("toc"),
+        F.lit(None).cast(EXTRACTED["chunks"].dataType).alias("chunks"),
+        F.lit(None).cast(EXTRACTED["validation"].dataType).alias("validation"),
+        F.lit(None).cast(EXTRACTED["metrics"].dataType).alias("metrics"),
+        F.lit(-1).alias("partition_id"),
+        F.lit(0.0).alias("extract_secs"),
+    )
+    return extracted.unionByName(failed)
+
+
 def toc_table(extracted: DataFrame) -> DataFrame:
     """Flat per-row ToC table (golden output #1 shape + url)."""
     return extracted.select("url", F.explode("toc").alias("e")).select("url", "e.*")

@@ -83,7 +83,10 @@ EMBED_SCHEMA = T.StructType(
 def _decode_image(data: bytes) -> tuple[int, int, bytes]:
     """→ (width, height, grayscale pixels). FIMG fake container decodes
     natively; real image bytes go through PIL when installed
-    (import-gated — VERDICT r1 item 7), else raise."""
+    (import-gated — VERDICT r1 item 7), else the vendored pure-Python
+    minipng reader handles real PNGs (same ITU-R 601-2 luma as PIL's
+    'L' convert, so the two paths agree); other real formats (JPEG
+    etc.) still need PIL and raise."""
     if data[:4] == b"FIMG":
         w, h = struct.unpack(">II", data[4:12])
         return w, h, data[12 : 12 + w * h]
@@ -96,9 +99,14 @@ def _decode_image(data: bytes) -> tuple[int, int, bytes]:
             gray = im.convert("L")
             return gray.width, gray.height, gray.tobytes()
     except ImportError:
-        raise NotImplementedError(
-            "real image bytes but PIL not installed in this container"
-        ) from None
+        pass
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..core.minipng import decode_png
+
+        return decode_png(data)
+    raise NotImplementedError(
+        "real non-PNG image bytes but PIL not installed in this container"
+    )
 
 
 def _decode_audio(data: bytes) -> tuple[int, int, bytes]:

@@ -114,10 +114,11 @@ def write_report_json(report: dict, path: str) -> None:
 
 
 def write_spreadsheet(sheets: dict[str, DataFrame], target: str, max_rows: int = 10000) -> list[str]:
-    """K5: multi-sheet report. With openpyxl installed this writes one
-    xlsx; in this container (no Excel lib) it writes <target>/<sheet>.csv
-    per sheet — same collected data, import-gated, never a hard dep."""
-    written: list[str] = []
+    """K5: multi-sheet .xlsx report (reference orchestrate.py:195-234).
+    With openpyxl installed this uses pandas.ExcelWriter (the
+    reference's exact engine); otherwise the vendored stdlib
+    minixlsx writer produces an equivalent valid workbook — a real
+    .xlsx lands either way, never a CSV downgrade."""
     frames = {name: df.limit(max_rows).toPandas() for name, df in sheets.items()}
     try:
         import openpyxl  # noqa: F401
@@ -127,12 +128,17 @@ def write_spreadsheet(sheets: dict[str, DataFrame], target: str, max_rows: int =
         with pd.ExcelWriter(target, engine="openpyxl") as xw:
             for name, pdf in frames.items():
                 pdf.to_excel(xw, sheet_name=name[:31], index=False)
-        written.append(target)
     except ImportError:
-        out_dir = Path(target).with_suffix("")
-        out_dir.mkdir(parents=True, exist_ok=True)
-        for name, pdf in frames.items():
-            p = out_dir / f"{name}.csv"
-            pdf.to_csv(p, index=False)
-            written.append(str(p))
-    return written
+        from .minixlsx import write_xlsx
+
+        write_xlsx(
+            {
+                name: (
+                    list(pdf.columns),
+                    [tuple(r) for r in pdf.itertuples(index=False, name=None)],
+                )
+                for name, pdf in frames.items()
+            },
+            target,
+        )
+    return [target]

@@ -46,18 +46,24 @@ def test_unknown_audio_container_raises():
         _decode_audio(b"OggS garbage")
 
 
-def test_real_image_requires_pil_or_raises():
+def test_truncated_png_surfaces_decode_error():
+    # PIL or minipng, a truncated PNG must surface a decode error (the
+    # operator layer maps it to status=decode_error), not hang
     png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    with pytest.raises(Exception):
+        _decode_image(png_magic)
+
+
+def test_real_non_png_image_without_pil_raises():
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     try:
         import PIL  # noqa: F401
 
-        # PIL present: truncated PNG must surface a decode error (the
-        # operator layer maps it to status=decode_error), not hang
         with pytest.raises(Exception):
-            _decode_image(png_magic)
+            _decode_image(jpeg_magic)
     except ImportError:
         with pytest.raises(NotImplementedError):
-            _decode_image(png_magic)
+            _decode_image(jpeg_magic)
 
 
 def test_pil_roundtrip_if_installed():
@@ -70,21 +76,12 @@ def test_pil_roundtrip_if_installed():
     assert (w, h) == (4, 3) and px == bytes([7]) * 12
 
 
-def test_real_pdf_without_codec_raises_or_decodes():
+def test_malformed_real_pdf_surfaces_error():
+    # every tier (PyMuPDF / pdfplumber / vendored minipdf) must turn a
+    # malformed %PDF body into an error, never silent empty output
     fake_real_pdf = b"%PDF-1.7\nnot really a pdf"
-    has_codec = False
-    for mod in ("fitz", "pdfplumber"):
-        try:
-            __import__(mod)
-            has_codec = True
-        except ImportError:
-            pass
-    if not has_codec:
-        with pytest.raises(NotImplementedError, match="no codec installed"):
-            pl.decode_pdf_pages(fake_real_pdf)
-    else:
-        with pytest.raises(Exception):  # malformed body: codec error, not silence
-            pl.decode_pdf_pages(fake_real_pdf)
+    with pytest.raises(Exception):
+        pl.decode_pdf_pages(fake_real_pdf)
 
 
 def test_pymupdf_blocks_if_installed():

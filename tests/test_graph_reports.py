@@ -67,12 +67,20 @@ def test_report_sinks_roundtrip(spark, tmp_path):
     rp.write_report_json(report, str(out))
     assert json.loads(out.read_text())["summary"]["docs"] == vs["docs"]
 
-    # K5 spreadsheet sink: no Excel lib in this container → CSV fallback
+    # K5 spreadsheet sink: a real .xlsx lands with or without openpyxl
+    # (stdlib minixlsx fallback); verify it's a valid workbook zip
     written = rp.write_spreadsheet(
         {"validation": validation, "metrics": metrics}, str(tmp_path / "report.xlsx")
     )
-    assert len(written) == 2
-    assert all(Path(p).exists() for p in written)
+    assert written == [str(tmp_path / "report.xlsx")]
+    import zipfile
+
+    with zipfile.ZipFile(written[0]) as z:
+        names = set(z.namelist())
+        assert "xl/workbook.xml" in names
+        assert "xl/worksheets/sheet1.xml" in names and "xl/worksheets/sheet2.xml" in names
+        wb = z.read("xl/workbook.xml").decode()
+        assert 'name="validation"' in wb and 'name="metrics"' in wb
 
     # K1 JSONL sink round-trip
     rp.write_jsonl(ox.toc_table(extracted), str(tmp_path / "toc_jsonl"))

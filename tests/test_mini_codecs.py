@@ -1,0 +1,274 @@
+"""Vendored pure-Python codecs (VERDICT r2 item 7): real %PDF bytes,
+real PNG bytes and a real .xlsx must be produced/consumed IN THIS
+container (no PyMuPDF/pdfplumber/PIL/openpyxl installed)."""
+
+from __future__ import annotations
+
+import struct
+import sys
+import zlib
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pdf_parser_spark.core import minipdf, minipng
+from pdf_parser_spark.core import pdf_layout as pl
+from pdf_parser_spark.operators.multimodal import _decode_image
+
+# ------------------------------------------------------------------ PDF
+
+
+PAGES = [
+    [(72.0, 100.0, "Chapter 1 Intro"), (72.0, 130.0, "First paragraph.")],
+    [(72.0, 90.0, "alpha"), (300.0, 90.0, "beta"), (72.0, 120.0, "gamma")],
+    [(50.0, 60.0, "Specials: (parens) and \\backslash\\")],
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_minipdf_roundtrip_through_codec_seam(compress):
+    """encode_pdf → REAL %PDF bytes → decode_pdf_pages (the S1 seam)
+    → byte-identical assembled page text, both raw and FlateDecode."""
+    data = minipdf.encode_pdf(PAGES, compress=compress)
+    assert data[:5] == b"%PDF-" and data.rstrip().endswith(b"%%EOF")
+    pages = pl.decode_pdf_pages(data)  # exercises the real-PDF tier
+    assert len(pages) == 3
+    texts = [pl.assemble_page(b) for b in pages]
+    assert texts[0] == "Chapter 1 Intro\nFirst paragraph."
+    assert texts[1] == "alpha\nbeta\ngamma"  # (y, x) reading order
+    assert texts[2] == "Specials: (parens) and \\backslash\\"
+    # block positions survive the round trip (to the writer's 0.01pt)
+    got = pages[0]
+    assert got[0][:2] == (72.0, 100.0) and got[1][:2] == (72.0, 130.0)
+
+
+def test_minipdf_ranged_scan_over_real_pdf():
+    """S2 pdf_text_lines works over real %PDF bytes, not just FPDF."""
+    data = minipdf.encode_pdf(PAGES)
+    assert pl.pdf_text_lines(data, 2, 2) == ["alpha", "beta", "gamma"]
+    assert pl.pdf_text_lines(data, 1, 1) == ["Chapter 1 Intro", "First paragraph."]
+
+
+def test_minipdf_handwritten_operators():
+    """TJ arrays, hex strings, TL/T*, escapes — a hand-built classic
+    PDF using operators our writer doesn't emit."""
+    content = (
+        b"BT /F1 10 Tf 20 TL 72 700 Td\n"
+        b"[(Hel) (lo) ] TJ\n"
+        b"T* (second line) Tj\n"
+        b"T* <48455821> Tj\n"  # 'HEX!'
+        b"ET"
+    )
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    pages = minipdf.extract_pdf_blocks(body)
+    assert len(pages) == 1
+    text = pl.assemble_page(pages[0])
+    assert text == "Hello\nsecond line\nHEX!"
+    # T* moved down by the 20pt leading each time (top-down y grows)
+    ys = [b[1] for b in sorted(pages[0], key=lambda b: (b[1], b[0]))]
+    assert ys == [92.0, 112.0, 132.0]
+
+
+def test_minipdf_multiple_content_streams_and_escapes():
+    c1 = b"BT /F1 9 Tf 10 720 Td (part\\tone\\)) Tj ET"
+    c2 = b"BT /F1 9 Tf 10 680 Td (line\\nbreak \\101) Tj ET"  # \101 -> 'A'
+    objs = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs.append(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents [4 0 R 5 0 R] >>"
+    )
+    for c in (c1, c2):
+        objs.append(
+            b"<< /Length " + str(len(c)).encode() + b" >>\nstream\n" + c + b"\nendstream"
+        )
+    body = b"%PDF-1.4\n" + b"".join(
+        f"{i} 0 obj\n".encode() + o + b"\nendobj\n" for i, o in enumerate(objs, 1)
+    ) + b"%%EOF\n"
+    pages = minipdf.extract_pdf_blocks(body)
+    text = pl.assemble_page(pages[0])
+    assert text == "part\tone)\nline\nbreak A"
+
+
+def test_minipdf_out_of_scope_reasons():
+    with pytest.raises(ValueError, match="not a %PDF"):
+        minipdf.extract_pdf_blocks(b"GIF89a")
+    with pytest.raises(ValueError, match="no indirect objects"):
+        minipdf.extract_pdf_blocks(b"%PDF-1.7\nnot really a pdf")
+    enc = b"%PDF-1.7\n1 0 obj\n<< /Encrypt 9 0 R >>\nendobj\n"
+    with pytest.raises(ValueError, match="encrypted"):
+        minipdf.extract_pdf_blocks(enc)
+    flt = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 4 /Filter /LZWDecode >>\nstream\nabcd\nendstream\nendobj\n"
+    )
+    with pytest.raises(ValueError, match="unsupported stream filter"):
+        minipdf.extract_pdf_blocks(flt)
+
+
+def test_minipdf_page_tree_order_and_mediabox_inheritance():
+    """Kids order (not object-number order) dictates pages; /MediaBox
+    inherited from the Pages node flips y correctly."""
+    c_a = b"BT 10 10 Td (second) Tj ET"
+    c_b = b"BT 10 10 Td (first) Tj ET"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        # 400pt-tall pages, declared ONLY on the tree node
+        b"2 0 obj\n<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 /MediaBox [0 0 300 400] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(c_a)).encode() + b" >>\nstream\n" + c_a + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(c_b)).encode() + b" >>\nstream\n" + c_b + b"\nendstream\nendobj\n"
+    )
+    texts = minipdf.extract_pdf_page_texts(body)
+    assert [t for _, t in texts] == ["first", "second"]
+    pages = minipdf.extract_pdf_blocks(body)
+    assert pages[0][0][1] == 390.0  # 400 - 10: inherited MediaBox height
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def test_minipng_gray_roundtrip_through_image_seam():
+    px = bytes(range(12))
+    data = minipng.encode_png_gray(4, 3, px)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, out = _decode_image(data)  # the multimodal codec seam
+    assert (w, h, out) == (4, 3, px)
+
+
+def test_minipng_rgb_luma_matches_pil_formula():
+    # hand-built 2x1 RGB PNG, filter 0
+    w, h = 2, 1
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"\x00" + bytes([255, 0, 0, 0, 255, 0])  # red, green
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + minipng._chunk(b"IHDR", ihdr)
+        + minipng._chunk(b"IDAT", zlib.compress(raw))
+        + minipng._chunk(b"IEND", b"")
+    )
+    _, _, out = minipng.decode_png(data)
+    assert out == bytes([(255 * 299) // 1000, (255 * 587) // 1000])
+
+
+def test_minipng_row_filters_sub_up_average_paeth():
+    """Craft filtered rows by applying each filter's forward transform
+    to known pixels, then assert the decoder inverts them exactly."""
+    w, h = 4, 4
+    rows = [
+        bytes([10, 20, 30, 40]),
+        bytes([15, 25, 35, 45]),
+        bytes([100, 90, 80, 70]),
+        bytes([1, 2, 3, 4]),
+    ]
+    # forward-filter: row0 Sub, row1 Up, row2 Average, row3 Paeth
+    f0 = bytes([rows[0][0]] + [(rows[0][i] - rows[0][i - 1]) & 0xFF for i in range(1, w)])
+    f1 = bytes([(rows[1][i] - rows[0][i]) & 0xFF for i in range(w)])
+    f2 = bytes(
+        [
+            (rows[2][i] - (((rows[2][i - 1] if i else 0) + rows[1][i]) >> 1)) & 0xFF
+            for i in range(w)
+        ]
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    f3 = bytes(
+        [
+            (
+                rows[3][i]
+                - paeth(
+                    rows[3][i - 1] if i else 0,
+                    rows[2][i],
+                    rows[2][i - 1] if i else 0,
+                )
+            )
+            & 0xFF
+            for i in range(w)
+        ]
+    )
+    raw = b"\x01" + f0 + b"\x02" + f1 + b"\x03" + f2 + b"\x04" + f3
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + minipng._chunk(b"IHDR", ihdr)
+        + minipng._chunk(b"IDAT", zlib.compress(raw))
+        + minipng._chunk(b"IEND", b"")
+    )
+    _, _, out = minipng.decode_png(data)
+    assert out == b"".join(rows)
+
+
+def test_minipng_out_of_scope_reasons():
+    with pytest.raises(ValueError, match="not a PNG"):
+        minipng.decode_png(b"JFIF")
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    data = b"\x89PNG\r\n\x1a\n" + minipng._chunk(b"IHDR", ihdr16)
+    with pytest.raises(ValueError, match="bit depth"):
+        minipng.decode_png(data)
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    data = b"\x89PNG\r\n\x1a\n" + minipng._chunk(b"IHDR", ihdr_pal)
+    with pytest.raises(ValueError, match="color type"):
+        minipng.decode_png(data)
+
+
+# ----------------------------------------------------------------- XLSX
+
+
+def test_minixlsx_readback_values(tmp_path):
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from pdf_parser_spark.sinks.minixlsx import write_xlsx
+
+    target = str(tmp_path / "wb.xlsx")
+    write_xlsx(
+        {
+            "metrics": (
+                ["name", "count", "ratio", "flag"],
+                [("alpha", 3, 0.5, True), ("be<ta>&", 4, 1.25, False)],
+            ),
+            "empty": (["col"], []),
+        },
+        target,
+    )
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(target) as z:
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        rows = sheet.findall(".//m:row", ns)
+        assert len(rows) == 3  # header + 2 data rows
+
+        def cellvals(row):
+            out = []
+            for c in row.findall("m:c", ns):
+                if c.get("t") == "inlineStr":
+                    out.append(c.find("m:is/m:t", ns).text)
+                else:
+                    out.append(c.find("m:v", ns).text)
+            return out
+
+        assert cellvals(rows[0]) == ["name", "count", "ratio", "flag"]
+        assert cellvals(rows[1]) == ["alpha", "3", "0.5", "1"]
+        assert cellvals(rows[2]) == ["be<ta>&", "4", "1.25", "0"]
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.findall(".//m:sheet", ns)]
+        assert names == ["metrics", "empty"]

@@ -51,6 +51,8 @@ def test_fake_container_roundtrip_to_pipeline():
     assert [e["section_id"] for e in result["toc"]] == ["1"]
 
 
-def test_real_pdf_raises_not_implemented():
-    with pytest.raises(NotImplementedError):
+def test_real_pdf_bytes_route_to_real_codec_tier():
+    # real %PDF bytes go to PyMuPDF/pdfplumber/minipdf — malformed
+    # bodies error (here: minipdf's no-objects reason), never silence
+    with pytest.raises(Exception):
         pl.decode_pdf_pages(b"%PDF-1.7 real bytes")

@@ -109,3 +109,56 @@ def test_extract_from_html_equals_text_path(spark):
         assert t[url]["n_pages"] == h[url]["n_pages"], url
         assert t[url]["toc"] == h[url]["toc"], url
         assert t[url]["chunks"] == h[url]["chunks"], url
+
+
+def test_extract_from_real_pdf_binaries_matches_text_path(spark):
+    """REAL %PDF bytes (vendored minipdf writer) through the
+    distributed pipeline: decode → page assembly → extraction must
+    byte-match the text path on the decoded text, and corrupt PDFs
+    must surface as accounted error rows, not task failures."""
+    from pdf_parser_spark.core import minipdf
+    from pdf_parser_spark.core.pages import PAGE_BREAK
+
+    n = 8
+    rows_pdf, rows_text = [], []
+    for doc in generate_corpus(n, seed=42):
+        pages = []
+        kept_pages = []
+        for page in (doc["text"] or "").split(PAGE_BREAK):
+            lines = [ln for ln in page.splitlines() if ln.strip()]
+            pages.append([(72.0, 20.0 * i, ln) for i, ln in enumerate(lines)])
+            kept_pages.append("\n".join(lines))
+        rows_pdf.append((doc["url"], bytearray(minipdf.encode_pdf(pages))))
+        rows_text.append((doc["url"], PAGE_BREAK.join(kept_pages)))
+    rows_pdf.append(("corrupt://doc", bytearray(b"%PDF-1.4\nbroken")))
+
+    pdf_df = spark.createDataFrame(rows_pdf, "url: string, pdf: binary")
+    txt_df = spark.createDataFrame(rows_text, "url: string, text: string")
+
+    via_pdf = {
+        r["url"]: r.asDict(recursive=True)
+        for r in ox.extract_documents_from_pdf(pdf_df).collect()
+    }
+    via_txt = {
+        r["url"]: r.asDict(recursive=True)
+        for r in ox.extract_documents(txt_df).collect()
+    }
+    assert len(via_pdf) == n + 1
+    bad = via_pdf.pop("corrupt://doc")
+    assert bad["status"] == "error" and "minipdf" in bad["error"]
+    for url, t in via_txt.items():
+        p = via_pdf[url]
+        assert p["status"] == t["status"], url
+        assert p["n_pages"] == t["n_pages"], url
+        assert p["toc"] == t["toc"], url
+        assert p["chunks"] == t["chunks"], url
+
+    # per-page table shape + failure accounting
+    pages_tbl = ox.pdf_pages_table(pdf_df).collect()
+    by_status = {}
+    for r in pages_tbl:
+        by_status[r["status"]] = by_status.get(r["status"], 0) + 1
+    assert by_status.get("decode_error") == 1
+    assert by_status.get("ok", 0) == sum(
+        t["n_pages"] for t in via_txt.values() if t["n_pages"]
+    )
