@@ -2533,3 +2533,94 @@ def q69(spark, sf):
         F.count("*").alias("n_custs"),
         F.sum(bal).cast("double").alias("total_bal"),
     )
+
+
+# =====================================================================
+# Streaming twin under the driver contract (VERDICT r2 item 8)
+# =====================================================================
+
+
+@register(
+    "q70_stream_quality_rollup_twin",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             1735689600 + (doc_id % 300) * 60 AS ep,
+             text || (CASE WHEN doc_id % 4 = 0 THEN ' mail u@x.io' ELSE '' END)
+                  || (CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END) AS tx
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, ep,
+             CASE WHEN trim(tx) = '' THEN 0
+                  ELSE len(string_split_regex(trim(tx), '\\s+')) END AS n_words,
+             length(regexp_replace(trim(tx), '\\s+', '', 'g')) AS n_wchars,
+             length(tx) - length(replace(tx, '#', '')) AS n_hash,
+             len(regexp_extract_all(tx, '(\\.\\.\\.|…)')) AS n_ell,
+             string_split(tx, chr(10)) AS lines,
+             len(regexp_extract_all(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_em,
+             len(regexp_extract_all(tx, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS n_ph,
+             len(regexp_extract_all(tx, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, lang, ep, n_em + n_ph + n_ip AS pii, n_words,
+             CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_wchars AS DOUBLE) / n_words END AS mean_wl,
+             CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_hash + n_ell AS DOUBLE) / n_words END AS sym,
+             len(lines) AS n_lines,
+             len(list_filter(lines, x -> regexp_matches(x, '^[\\s]*[-*•]'))) AS n_bul,
+             len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)'))) AS n_el_l
+      FROM feats
+    ),
+    k AS (
+      SELECT doc_id, lang, ep, pii,
+             (n_words >= 50 AND n_words <= 100000
+              AND mean_wl >= 3.0 AND mean_wl <= 10.0
+              AND sym <= 0.1
+              AND (CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_el_l AS DOUBLE) / n_lines END) <= 0.3
+              AND (CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_bul AS DOUBLE) / n_lines END) <= 0.9)
+               AS keep
+      FROM r
+    )
+    SELECT CAST(ep // 3600 * 3600 AS BIGINT) * 1000000 AS window_start_us, lang,
+           COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(pii) AS BIGINT) AS n_pii,
+           CAST(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*) AS keep_rate
+    FROM k GROUP BY 1, 2
+    """,
+)
+def q70(spark, sf):
+    """The watermarked streaming quality rollup, value-checked by the
+    driver on a STATIC frame: streaming/stream.windowed_quality_rollup
+    is called directly (withWatermark is a no-op in batch, F.window is
+    the same operator), so the exact expressions the stream runs are
+    the ones the oracle replays — closing the loop with the pytest
+    stream/batch parity test (test_streaming). warc_ts is synthesized
+    epoch-based (tz-free on both engines; hourly windows export as
+    unix micros, the q12 pattern) and seeded PII suffixes make the
+    n_pii/keep_rate columns vary."""
+    from ..streaming.stream import windowed_quality_rollup
+
+    d = _t(spark, sf, "documents")
+    doc = F.col("doc_id")
+    tx = F.concat(
+        F.col("text"),
+        F.when(doc % 4 == 0, F.lit(" mail u@x.io")).otherwise(F.lit("")),
+        F.when(doc % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+    )
+    docs = d.select(
+        doc.alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + (doc % 300) * 60).alias("warc_ts"),
+        tx.alias("text"),
+        "lang",
+    )
+    roll = windowed_quality_rollup(docs, window="1 hour", watermark="2 hours")
+    return roll.select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_start_us"),
+        "lang",
+        "docs",
+        "n_keep",
+        "n_pii",
+        "keep_rate",
+    )
