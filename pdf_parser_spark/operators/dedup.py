@@ -57,15 +57,24 @@ def dedup_exact(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
 
 
 def shingles(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (posexplode + window
-    of the word array — stays native via transform/slice)."""
-    words = word_array(F.col(text_col))
+    """Distinct word n-gram shingles per document (explode + window of
+    the word array — stays native via transform/slice).
+
+    The word array is HOISTED into its own projection before the
+    transform() lambda. Inlining `split(text)` inside the lambda body
+    makes Spark re-split the ENTIRE text once per word — O(W²) chars
+    per document, invisible on 300-word pages but a 60× slowdown on
+    15k-word mega-docs (measured; found by the 10× bigscale run).
+    CollapseProject keeps the hoist because the non-cheap split is
+    referenced more than once."""
+    base = df.select(F.col(key_col), word_array(F.col(text_col)).alias("__ws"))
+    ws = F.col("__ws")
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
     )
     return (
-        df.select(F.col(key_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        base.select(F.col(key_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.col("shingle") != "")
     )
 

@@ -101,19 +101,27 @@ def line_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     over the sorted line array counts repeat runs in one pass.
     """
     c = F.col(text_col)
-    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
+    # HOIST the line array and its sorted twin into projected columns:
+    # referencing `array_sort(split(text))` INSIDE the aggregate lambda
+    # below would re-split-and-sort the whole document once per line —
+    # O(L²·log L) per doc (same bug class as dedup.shingles, found by
+    # the 10× bigscale run). CollapseProject keeps the hoist because
+    # the non-cheap expressions are referenced more than once.
+    base = df.withColumn(
+        "__ldl", F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
+    ).withColumn("__lds", F.array_sort(F.col("__ldl")))
+    lines, sorted_lines = F.col("__ldl"), F.col("__lds")
     n = F.size(lines)
     n_distinct = F.size(F.array_distinct(lines))
     dup_frac = F.when(n == 0, F.lit(0.0)).otherwise(
         (n - n_distinct) / n.cast("double")
     )
-    # sort lines, then: every element equal to its predecessor is a
+    # sorted lines: every element equal to its predecessor is a
     # beyond-first repeat; accumulate its length. Iterate i in [2, n]
     # comparing element i to i-1 — the n<=1 guard matters because
     # F.sequence(2, 1) would produce the DESCENDING [2, 1] (not an
     # empty list), and under ANSI mode element_at on the 1-element
     # array would abort the whole job for a single-line document.
-    sorted_lines = F.array_sort(lines)
     total_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
@@ -131,8 +139,10 @@ def line_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     dup_char_frac = F.when(total_chars == 0, F.lit(0.0)).otherwise(
         dup_chars / total_chars.cast("double")
     )
-    return df.withColumn("dup_line_frac", dup_frac).withColumn(
-        "dup_line_char_frac", dup_char_frac
+    return (
+        base.withColumn("dup_line_frac", dup_frac)
+        .withColumn("dup_line_char_frac", dup_char_frac)
+        .drop("__ldl", "__lds")
     )
 
 

@@ -1,0 +1,189 @@
+"""10x-scale bench (VERDICT r2 item 5).
+
+sf0.1 (5k docs) exercises neither spill nor real skew, so the 100x
+scale claims rested on plan shape alone. This runs the HEAVY operator
+legs at 10x the per-round bench corpus — 50k synthetic documents
+(every 40th a mega-doc: the skew fixture), 20k 64-dim embeddings,
+20k-doc extraction — and records per-leg wall seconds, output rows,
+and the partition-skew counters from the extraction lineage
+side-table to BENCH/bigscale_last_run.json.
+
+    python tools/bigscale_bench.py [--docs 50000] [--cpus 32]
+
+Legs intentionally use the PRODUCTION operator paths (xxhash64 twins,
+sharded packing, banded hyperplane LSH), not the md5 oracle twins.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+import sys
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _force(df) -> int:
+    df = df.cache()
+    n = df.count()
+    df.unpersist()
+    return n
+
+
+def _force_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--extract-docs", type=int, default=20_000)
+    ap.add_argument("--vecs", type=int, default=20_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    from pdf_parser_spark.operators import dedup as dd
+    from pdf_parser_spark.operators import extract as ox
+    from pdf_parser_spark.operators import packing as pk
+    from pdf_parser_spark.operators import webtext_filters as wf
+    from pdf_parser_spark.operators.html_extract import html_main_text
+    from pdf_parser_spark.plans.session import get_spark
+    from pdf_parser_spark.sources.corpus import (
+        read_documents,
+        synthetic_documents_distributed,
+    )
+
+    spark = get_spark(app_name="bigscale", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict = {
+        "docs": args.docs,
+        "extract_docs": args.extract_docs,
+        "vecs": args.vecs,
+        "cpus": args.cpus,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "legs": {},
+    }
+
+    def leg(name: str, fn, rows_of=None):
+        t0 = time.perf_counter()
+        out = fn()
+        sec = round(time.perf_counter() - t0, 2)
+        results["legs"][name] = {"sec": sec, "rows": out if isinstance(out, int) else None}
+        print(f"{name:<28}{sec:>9.2f}s rows={out}", flush=True)
+        return out
+
+    corpus = f"/tmp/bigscale_docs_{args.docs}.parquet"
+    if not Path(corpus).exists():
+        t0 = time.perf_counter()
+        synthetic_documents_distributed(
+            spark, args.docs, seed=42, partitions=args.cpus * 4
+        ).write.mode("overwrite").parquet(corpus)
+        results["corpus_gen_sec"] = round(time.perf_counter() - t0, 2)
+    docs = read_documents(spark, corpus)
+
+    # --- extraction (north metric) on a 10x slice incl. mega-docs ----
+    ex_docs = docs.limit(args.extract_docs)
+    t0 = time.perf_counter()
+    extracted = ox.extract_documents(
+        ox.salted_repartition(ex_docs, args.cpus * 2)
+    ).cache()
+    n_ex = extracted.count()
+    ex_sec = time.perf_counter() - t0
+    lineage = ox.lineage_metrics(extracted).cache()
+    skew = lineage.agg(
+        F.min("docs").alias("min_docs"),
+        F.expr("percentile_approx(docs, 0.5)").alias("p50_docs"),
+        F.max("docs").alias("max_docs"),
+        F.min("busy_secs").alias("min_busy"),
+        F.max("busy_secs").alias("max_busy"),
+        F.sum("parse_failures").alias("parse_failures"),
+        F.count("*").alias("partitions"),
+    ).first()
+    results["legs"]["extract_pipeline"] = {
+        "sec": round(ex_sec, 2),
+        "rows": n_ex,
+        "docs_per_sec": round(n_ex / ex_sec, 1),
+        "lineage_skew": {k: float(skew[k]) for k in skew.asDict()},
+    }
+    print("extract:", results["legs"]["extract_pipeline"], flush=True)
+    lineage.unpersist()
+    extracted.unpersist()
+
+    leg("html_strip", lambda: _force(html_main_text(ox.salted_repartition(ex_docs, args.cpus * 2))))
+
+    # --- dedup tier, production hashes, full 10x corpus --------------
+    leg(
+        "minhash_near_dups_xxhash",
+        lambda: _force(
+            dd.near_dup_pairs_minhash(docs, text_col="text", key_col="url", threshold=0.7)
+        ),
+    )
+    leg(
+        "winnowing_xxhash",
+        lambda: _force(
+            dd.winnowed_fingerprints(docs, text_col="text", key_col="url", k=8, window=4, portable=False)
+        ),
+    )
+    leg(
+        "simhash_near_dups",
+        lambda: _force(dd.simhash_near_dups(docs, text_col="text", key_col="url")),
+    )
+
+    # --- webtext hygiene chain (scan-shaped) -------------------------
+    def webtext():
+        flagged = wf.pii_redact(wf.line_dup_stats(wf.gopher_quality_flags(docs)))
+        row = flagged.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("gopher_keep").cast("bigint")).alias("keep"),
+            F.sum("n_emails").alias("emails"),
+            F.avg("dup_line_frac").alias("dlf"),
+        ).first()
+        return int(row["n"])
+
+    leg("webtext_chain", webtext)
+
+    # --- sample shaping ----------------------------------------------
+    leg("token_chunks", lambda: _force(pk.token_chunks(docs, key_col="url")))
+    leg(
+        "pack_sequences_sharded",
+        lambda: _force(pk.pack_sequences(docs, key_col="url", by="lang", budget=2048)),
+    )
+
+    # --- embedding near-dups (banded hyperplane LSH), 10x vectors ----
+    dim = 64
+    emb = (
+        spark.range(args.vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), "
+                "i -> cast(sin((id % 50 + 1) * (i + 1)) + 0.02 * sin(id * 31 + i) as float))"
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    emb.count()
+    leg(
+        "embedding_lsh_near_dups",
+        lambda: _force(
+            dd.embedding_near_dups_lsh(
+                emb, key_col="vec_id", vec_col="embedding", threshold=0.9, bands=4, bits_per_band=6
+            )
+        ),
+    )
+    emb.unpersist()
+
+    results["total_sec"] = round(
+        sum(v["sec"] for v in results["legs"].values()), 2
+    )
+    out = Path(__file__).resolve().parent.parent / "BENCH" / "bigscale_last_run.json"
+    out.write_text(json.dumps(results, indent=1))
+    print(json.dumps({"bigscale_total_sec": results["total_sec"], "written": str(out)}))
+
+
+if __name__ == "__main__":
+    main()
