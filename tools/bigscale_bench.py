@@ -44,7 +44,14 @@ def main() -> None:
     ap.add_argument("--extract-docs", type=int, default=20_000)
     ap.add_argument("--vecs", type=int, default=20_000)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument(
+        "--legs",
+        default=None,
+        help="comma-separated subset of legs to run (default: all); "
+        "results merge into BENCH/bigscale_last_run.json",
+    )
     args = ap.parse_args()
+    only = set(args.legs.split(",")) if args.legs else None
 
     from pdf_parser_spark.operators import dedup as dd
     from pdf_parser_spark.operators import extract as ox
@@ -69,6 +76,8 @@ def main() -> None:
     }
 
     def leg(name: str, fn, rows_of=None):
+        if only is not None and name not in only:
+            return None
         t0 = time.perf_counter()
         out = fn()
         sec = round(time.perf_counter() - t0, 2)
@@ -85,33 +94,41 @@ def main() -> None:
         results["corpus_gen_sec"] = round(time.perf_counter() - t0, 2)
     docs = read_documents(spark, corpus)
 
+    out_path = Path(__file__).resolve().parent.parent / "BENCH" / "bigscale_last_run.json"
+    if only is not None and out_path.exists():
+        try:
+            results["legs"] = json.loads(out_path.read_text()).get("legs", {})
+        except (OSError, json.JSONDecodeError):
+            pass
+
     # --- extraction (north metric) on a 10x slice incl. mega-docs ----
     ex_docs = docs.limit(args.extract_docs)
-    t0 = time.perf_counter()
-    extracted = ox.extract_documents(
-        ox.salted_repartition(ex_docs, args.cpus * 2)
-    ).cache()
-    n_ex = extracted.count()
-    ex_sec = time.perf_counter() - t0
-    lineage = ox.lineage_metrics(extracted).cache()
-    skew = lineage.agg(
-        F.min("docs").alias("min_docs"),
-        F.expr("percentile_approx(docs, 0.5)").alias("p50_docs"),
-        F.max("docs").alias("max_docs"),
-        F.min("busy_secs").alias("min_busy"),
-        F.max("busy_secs").alias("max_busy"),
-        F.sum("parse_failures").alias("parse_failures"),
-        F.count("*").alias("partitions"),
-    ).first()
-    results["legs"]["extract_pipeline"] = {
-        "sec": round(ex_sec, 2),
-        "rows": n_ex,
-        "docs_per_sec": round(n_ex / ex_sec, 1),
-        "lineage_skew": {k: float(skew[k]) for k in skew.asDict()},
-    }
-    print("extract:", results["legs"]["extract_pipeline"], flush=True)
-    lineage.unpersist()
-    extracted.unpersist()
+    if only is None or "extract_pipeline" in only:
+        t0 = time.perf_counter()
+        extracted = ox.extract_documents(
+            ox.salted_repartition(ex_docs, args.cpus * 2)
+        ).cache()
+        n_ex = extracted.count()
+        ex_sec = time.perf_counter() - t0
+        lineage = ox.lineage_metrics(extracted).cache()
+        skew = lineage.agg(
+            F.min("docs").alias("min_docs"),
+            F.expr("percentile_approx(docs, 0.5)").alias("p50_docs"),
+            F.max("docs").alias("max_docs"),
+            F.min("busy_secs").alias("min_busy"),
+            F.max("busy_secs").alias("max_busy"),
+            F.sum("parse_failures").alias("parse_failures"),
+            F.count("*").alias("partitions"),
+        ).first()
+        results["legs"]["extract_pipeline"] = {
+            "sec": round(ex_sec, 2),
+            "rows": n_ex,
+            "docs_per_sec": round(n_ex / ex_sec, 1),
+            "lineage_skew": {k: float(skew[k]) for k in skew.asDict()},
+        }
+        print("extract:", results["legs"]["extract_pipeline"], flush=True)
+        lineage.unpersist()
+        extracted.unpersist()
 
     leg("html_strip", lambda: _force(html_main_text(ox.salted_repartition(ex_docs, args.cpus * 2))))
 
@@ -130,7 +147,11 @@ def main() -> None:
     )
     leg(
         "simhash_near_dups",
-        lambda: _force(dd.simhash_near_dups(docs, text_col="text", key_col="url")),
+        lambda: _force(
+            dd.simhash_near_dups(
+                dd.simhash(docs, text_col="text", key_col="url"), key_col="url"
+            )
+        ),
     )
 
     # --- webtext hygiene chain (scan-shaped) -------------------------
@@ -180,9 +201,8 @@ def main() -> None:
     results["total_sec"] = round(
         sum(v["sec"] for v in results["legs"].values()), 2
     )
-    out = Path(__file__).resolve().parent.parent / "BENCH" / "bigscale_last_run.json"
-    out.write_text(json.dumps(results, indent=1))
-    print(json.dumps({"bigscale_total_sec": results["total_sec"], "written": str(out)}))
+    out_path.write_text(json.dumps(results, indent=1))
+    print(json.dumps({"bigscale_total_sec": results["total_sec"], "written": str(out_path)}))
 
 
 if __name__ == "__main__":
