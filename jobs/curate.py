@@ -58,8 +58,16 @@ def run(
     curated_path = str(out / "curated")
     quarantine_path = str(out / "quarantine")
 
+    stage_secs: dict[str, float] = {}
+
+    def _mark(name: str, t_start: float) -> float:
+        now = time.perf_counter()
+        stage_secs[name] = round(now - t_start, 2)
+        return now
+
     docs = read_documents(spark, input_path)
     n_input = docs.count()
+    t = _mark("scan_count", t0)
 
     already = 0
     if resume:
@@ -91,6 +99,7 @@ def run(
             F.when(F.col("gopher_keep") & (F.col("dup_line_frac") > MAX_DUP_LINE_FRAC), 1).otherwise(0)
         ).alias("drop_dup_lines"),
     ).first()
+    t = _mark("quality_funnel", t)
 
     kept = flagged.where(quality_ok)
     redacted = wf.pii_redact(kept).withColumn("text", F.col("text_redacted"))
@@ -103,6 +112,7 @@ def run(
     exact_survivors = dd.dedup_exact(clean, text_col="text", key_col="url").persist()
     survivors = exact_survivors
     n_after_exact = survivors.count()
+    t = _mark("pii_exact_dedup", t)
 
     losers = None
     n_near_dropped = 0
@@ -110,9 +120,15 @@ def run(
         pairs = dd.near_dup_pairs_minhash(
             survivors, text_col="text", key_col="url", threshold=near_dup_threshold
         )
-        losers = pairs.select(F.col("id_b").alias("url")).distinct()
+        # persist the (tiny) loser url set: its LINEAGE is the entire
+        # minhash pipeline, and it feeds the anti-join, the quarantine
+        # keepers union and the near_dup reason rows — without the
+        # cache the r3 profiling showed minhash re-executing 4x
+        # (quarantine_write alone was 342 s of a 587 s job at 50k docs)
+        losers = pairs.select(F.col("id_b").alias("url")).distinct().persist()
         n_near_dropped = losers.count()
         survivors = survivors.join(losers, on="url", how="left_anti")
+        t = _mark("near_dups", t)
 
     if quarantine:
         # dropped rows never vanish: (url, reason) rows land in an
@@ -124,11 +140,16 @@ def run(
             .otherwise(F.lit("dup_lines"))
             .alias("reason"),
         )
-        keepers = survivors.select("url")
-        if losers is not None:
-            keepers = keepers.unionByName(losers)
-        q_exact = clean.join(keepers, on="url", how="left_anti").select(
-            "url", F.lit("exact_dup").alias("reason")
+        keepers = exact_survivors.select("url")
+        # exact_dup = quality-passed urls that lost the md5 groupBy.
+        # PII redaction never drops rows, so the url set of `clean` IS
+        # the url set of `kept` — deriving it from the cached flagged
+        # frame skips re-running the redaction regexes over the corpus
+        q_exact = (
+            flagged.where(quality_ok)
+            .select("url")
+            .join(keepers, on="url", how="left_anti")
+            .select("url", F.lit("exact_dup").alias("reason"))
         )
         q_all = q_quality.unionByName(q_exact)
         if losers is not None:
@@ -136,8 +157,10 @@ def run(
                 losers.select("url", F.lit("near_dup").alias("reason"))
             )
         q_all.write.mode("append").parquet(quarantine_path)
+        t = _mark("quarantine_write", t)
 
     survivors.write.mode("append").parquet(curated_path)
+    t = _mark("curated_write", t)
     n_curated = spark.read.parquet(curated_path).select("url").distinct().count()
 
     n_new = funnel["n_new"] or 0
@@ -153,11 +176,14 @@ def run(
         "newly_curated": n_after_exact - n_near_dropped,
         "total_curated": n_curated,
         "wall_sec": round(time.perf_counter() - t0, 2),
+        "stage_secs": stage_secs,
     }
     out.mkdir(parents=True, exist_ok=True)
     (out / "curation_metrics.json").write_text(json.dumps(metrics, indent=2))
     flagged.unpersist()
     exact_survivors.unpersist()
+    if losers is not None:
+        losers.unpersist()
     return metrics
 
 
