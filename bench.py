@@ -60,7 +60,11 @@ def _prev_round_timings(sf_dir: str) -> dict[str, float]:
     try:
         blob = json.loads((here / "BENCH" / "last_run.json").read_text())
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        if str(blob.get("sf")) == sf:
+        try:
+            same = float(blob.get("sf")) == float(sf)
+        except (TypeError, ValueError):
+            same = str(blob.get("sf")) == sf
+        if same:
             return blob.get("queries", {})
     except (json.JSONDecodeError, OSError):
         pass

@@ -53,6 +53,33 @@ def run(
     quarantine: bool = True,
 ) -> dict:
     spark = spark or get_spark(app_name="curate")
+    # every persisted frame is released even when a write fails
+    # mid-job — a long-lived session must not accumulate cached
+    # copies of the corpus across retries
+    caches: list = []
+    try:
+        return _run(
+            input_path, outdir, spark, resume, near_dups,
+            near_dup_threshold, quarantine, caches,
+        )
+    finally:
+        for c in caches:
+            try:
+                c.unpersist()
+            except Exception:
+                pass
+
+
+def _run(
+    input_path: str,
+    outdir: str,
+    spark,
+    resume: bool,
+    near_dups: bool,
+    near_dup_threshold: float,
+    quarantine: bool,
+    caches: list,
+) -> dict:
     t0 = time.perf_counter()
     out = Path(outdir)
     curated_path = str(out / "curated")
@@ -80,7 +107,11 @@ def run(
             done = spark.read.parquet(curated_path).select("url").distinct()
             already = done.count()
             seen = done
-        if quarantine and Path(quarantine_path).exists():
+        # gate on the TABLE's existence, not this run's quarantine
+        # flag: resuming with quarantine=False must still skip docs an
+        # earlier run already adjudicated, or a curated doc's dedup
+        # twin re-enters the funnel alone and survives
+        if Path(quarantine_path).exists():
             q_seen = spark.read.parquet(quarantine_path).select("url")
             seen = q_seen if seen is None else seen.unionByName(q_seen)
         if seen is not None:
@@ -91,6 +122,7 @@ def run(
     # table) reads the cache instead of re-running the Gopher/dup-line
     # scan over the input — the whole job makes ONE pass over raw docs
     flagged = wf.line_dup_stats(wf.gopher_quality_flags(docs)).persist()
+    caches.append(flagged)
     quality_ok = F.col("gopher_keep") & (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
     funnel = flagged.agg(
         F.count("*").alias("n_new"),
@@ -110,6 +142,7 @@ def run(
     # part — without the cache the md5-groupBy would re-execute per
     # consumer
     exact_survivors = dd.dedup_exact(clean, text_col="text", key_col="url").persist()
+    caches.append(exact_survivors)
     survivors = exact_survivors
     n_after_exact = survivors.count()
     t = _mark("pii_exact_dedup", t)
@@ -126,6 +159,7 @@ def run(
         # cache the r3 profiling showed minhash re-executing 4x
         # (quarantine_write alone was 342 s of a 587 s job at 50k docs)
         losers = pairs.select(F.col("id_b").alias("url")).distinct().persist()
+        caches.append(losers)
         n_near_dropped = losers.count()
         survivors = survivors.join(losers, on="url", how="left_anti")
         t = _mark("near_dups", t)
@@ -180,10 +214,6 @@ def run(
     }
     out.mkdir(parents=True, exist_ok=True)
     (out / "curation_metrics.json").write_text(json.dumps(metrics, indent=2))
-    flagged.unpersist()
-    exact_survivors.unpersist()
-    if losers is not None:
-        losers.unpersist()
     return metrics
 
 

@@ -6,9 +6,11 @@ in pdf_layout._decode_real_pdf could never execute here (VERDICT r2
 item 7). This module closes that gap for the classic-PDF subset:
 
   read   extract_pdf_blocks(data) -> [[(x0, y0_topdown, text)]]
-         - object scan (no xref dependence: tolerant of both xref
-           tables and xref-stream files whose objects are NOT packed
-           into object streams)
+         - sequential stream-aware object scan (no xref dependence:
+           tolerant of both xref tables and xref-stream files whose
+           objects are NOT packed into object streams; stream bytes
+           are skipped by /Length so in-stream 'endobj'/'N M obj'
+           byte sequences cannot corrupt the object map)
          - /Root -> /Pages -> /Kids page-tree walk (document-order
            fallback when the tree is broken)
          - content streams: raw or /FlateDecode (stdlib zlib)
@@ -34,8 +36,9 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RX = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
-_STREAM_RX = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
+_OBJ_HEAD_RX = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_START_RX = re.compile(rb"stream(?:\r\n|\n|\r)")
+_ENDSTREAM_RX = re.compile(rb"(?:\r\n|\n|\r)?endstream")
 _NUM_RX = re.compile(rb"[-+]?\d*\.?\d+")
 
 DEFAULT_PAGE_HEIGHT = 792.0  # US Letter, when /MediaBox is absent
@@ -178,19 +181,64 @@ def _decode_pdf_string(raw: bytes) -> str:
 # --------------------------------------------------------------------
 
 
-def _load_objects(data: bytes) -> dict[int, bytes]:
-    objs: dict[int, bytes] = {}
-    for m in _OBJ_RX.finditer(data):
-        objs[int(m.group(1))] = m.group(3)
+def _load_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Sequential object scan → {num: (value bytes, raw stream|None)}.
+
+    Streams are SKIPPED during the scan (by /Length when it's an int
+    literal, else by the first endstream marker), so byte sequences
+    like 'endobj' or 'N M obj' occurring INSIDE compressed stream data
+    can neither truncate an object nor register a bogus one that
+    clobbers a real object — the failure mode of a naive
+    obj-to-endobj regex scan on real-world Flate streams."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    pos, n = 0, len(data)
+    while pos < n:
+        m = _OBJ_HEAD_RX.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        val, after = _parse_value(data, body_start)
+        j = after
+        while j < n and data[j : j + 1].isspace():
+            j += 1
+        sm = _STREAM_START_RX.match(data, j)
+        stream_raw: bytes | None = None
+        if isinstance(val, dict) and sm:
+            sstart = sm.end()
+            length = val.get("Length")
+            send = -1
+            if isinstance(length, int) and sstart + length <= n:
+                em = _ENDSTREAM_RX.match(data, sstart + length)
+                if em:
+                    stream_raw = data[sstart : sstart + length]
+                    send = em.end()
+            if send == -1:
+                # /Length missing, indirect, or wrong: first marker
+                em2 = _ENDSTREAM_RX.search(data, sstart)
+                if em2:
+                    stream_raw = data[sstart : em2.start()]
+                    send = em2.end()
+                else:
+                    stream_raw = data[sstart:]
+                    send = n
+            e = data.find(b"endobj", send)
+            pos = (e + 6) if e != -1 else send
+            objs[num] = (data[body_start:after], stream_raw)
+        else:
+            e = data.find(b"endobj", body_start)
+            end = e if e != -1 else n
+            objs[num] = (data[body_start:end], None)
+            pos = end + 6 if e != -1 else n
     return objs
 
 
-def _resolve(objs: dict[int, bytes], v):
+def _resolve(objs: dict[int, tuple[bytes, bytes | None]], v):
     if isinstance(v, _Ref):
-        body = objs.get(v.num)
-        if body is None:
+        entry = objs.get(v.num)
+        if entry is None:
             return None
-        val, _ = _parse_value(body, 0)
+        val, _ = _parse_value(entry[0], 0)
         return val
     return v
 
@@ -200,13 +248,11 @@ def _obj_dict(body: bytes) -> dict:
     return v if isinstance(v, dict) else {}
 
 
-def _stream_bytes(objs: dict[int, bytes], num: int) -> bytes:
-    body = objs.get(num, b"")
+def _stream_bytes(objs: dict[int, tuple[bytes, bytes | None]], num: int) -> bytes:
+    body, raw = objs.get(num, (b"", None))
     d = _obj_dict(body)
-    m = _STREAM_RX.search(body)
-    if not m:
+    if raw is None:
         return b""
-    raw = m.group(1)
     length = d.get("Length")
     if isinstance(length, _Ref):
         length = _resolve(objs, length)
@@ -230,7 +276,7 @@ def _page_objects(data: bytes, objs: dict[int, bytes]) -> list[int]:
     """Ordered page object numbers: catalog → pages-tree walk; falls
     back to document order of /Type /Page objects."""
     pages_root = None
-    for num, body in objs.items():
+    for num, (body, _raw) in objs.items():
         d = _obj_dict(body)
         if d.get("Type") == ("name", "Catalog") and "Pages" in d:
             pages_root = d["Pages"]
@@ -253,15 +299,16 @@ def _page_objects(data: bytes, objs: dict[int, bytes]) -> list[int]:
 
     if pages_root is not None:
         walk(pages_root)
-    if not ordered:  # broken or absent tree: document order
-        for m in _OBJ_RX.finditer(data):
-            d = _obj_dict(m.group(3))
+    if not ordered:  # broken or absent tree: document order (the
+        # sequential scan preserves insertion order)
+        for num, (body, _raw) in objs.items():
+            d = _obj_dict(body)
             if d.get("Type") == ("name", "Page"):
-                ordered.append(int(m.group(1)))
+                ordered.append(num)
     return ordered
 
 
-def _page_height(objs: dict[int, bytes], page: dict) -> float:
+def _page_height(objs: dict[int, tuple[bytes, bytes | None]], page: dict) -> float:
     node, depth = page, 0
     while isinstance(node, dict) and depth < 64:
         mb = node.get("MediaBox")
@@ -394,7 +441,7 @@ def extract_pdf_blocks(data: bytes) -> list[list[tuple[float, float, str]]]:
         raise ValueError("minipdf: no page objects found")
     pages: list[list[tuple[float, float, str]]] = []
     for num in page_nums:
-        page = _obj_dict(objs[num])
+        page = _obj_dict(objs[num][0])
         page_h = _page_height(objs, page)
         contents = page.get("Contents")
         refs: list[int] = []
@@ -440,7 +487,8 @@ def encode_pdf(
 ) -> bytes:
     """[(x0, y0_topdown, text)] per page → real PDF bytes (classic
     xref table, Helvetica, optional FlateDecode content streams).
-    encode→extract round-trips block positions and text exactly."""
+    encode→extract round-trips text exactly and positions to the
+    writer's 0.01pt (relative Td moves are emitted at 2 decimals)."""
     objects: list[bytes] = []  # bodies; object number = index + 1
 
     def add(body: bytes) -> int:

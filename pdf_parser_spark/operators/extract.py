@@ -196,9 +196,16 @@ def pdf_pages_table(docs: DataFrame, pdf_col: str = "pdf") -> DataFrame:
             rows = []
             for url, data in zip(batch["url"], batch[pdf_col]):
                 try:
-                    for page_no, text in pdf_to_page_texts(bytes(data)):
+                    pages = pdf_to_page_texts(bytes(data))
+                    for page_no, text in pages:
                         rows.append(
                             {"url": url, "status": "ok", "page_no": page_no, "text": text}
+                        )
+                    if not pages:
+                        # one row per input doc, always: a zero-page
+                        # document must not vanish from the accounting
+                        rows.append(
+                            {"url": url, "status": "empty", "page_no": 0, "text": None}
                         )
                 except NotImplementedError:
                     rows.append(

@@ -81,14 +81,19 @@ def pack_sequences(
     opts into the single whole-group window (only sensible for tiny
     frames or oracle replay):
 
-      1. range-repartition on (by, key) into S ordered shards;
-      2. per-(group, shard) local cumsum — bounded window partitions;
-      3. per-(group, shard) totals (S·|groups| tiny rows) collected
-         once, turned into per-shard offsets, broadcast back.
+      1. one sampled range-repartition yields S·|groups| contiguous
+         boundary KEYS (collected; tiny) — every row's shard is then
+         re-derived from the boundary values, so nothing downstream
+         depends on the sampled partitioning (no persist, no pinned
+         cache);
+      2. exact per-(group, shard) totals over that deterministic
+         assignment → per-shard offsets, broadcast back;
+      3. per-(group, shard) local cumsum — bounded window partitions
+         — plus the offset.
 
     The result is IDENTICAL to the single-window form for any shard
-    boundary placement (offsets absorb wherever sampling cuts the
-    ranges), so the scalable path needs no semantic caveats.
+    boundary placement (offsets absorb wherever the boundaries fall),
+    so the scalable path needs no semantic caveats.
     """
     toks = token_count(F.col(text_col))
     base = df.select(F.col(by), F.col(key_col), toks.alias("tokens"))
@@ -107,25 +112,56 @@ def pack_sequences(
             F.floor(before / F.lit(budget)).cast("bigint").alias("seq_id"),
         )
 
+    # 1. derive contiguous per-group boundary KEYS from one sampled
+    #    range partitioning. Any sampling outcome is a valid contiguous
+    #    split (balance affects speed, never values); determinism and
+    #    exactness come from re-deriving every row's shard from these
+    #    collected boundary VALUES below — so nothing downstream
+    #    depends on the sampled partitioning and NO persist is needed
+    #    (the r3 review caught the previous persist pinning a
+    #    corpus-sized cache for the session lifetime).
     ranged = base.repartitionByRange(shards, F.col(by), F.col(key_col)).withColumn(
         "_shard", F.spark_partition_id()
     )
-    w = Window.partitionBy(by, "_shard").orderBy(key_col)
-    local = ranged.withColumn(
-        "_local_before",
-        F.sum("tokens").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        - F.col("tokens"),
+    bounds_rows = (
+        ranged.groupBy(by, "_shard").agg(F.min(key_col).alias("k0")).collect()
     )
-    # persist before the two consumers: range boundaries come from
-    # SAMPLING, and recomputing the frame for the second action could
-    # re-draw them — totals and local cumsums must see ONE partitioning
-    local = local.persist()
+    per_group: dict[object, list] = {}
+    for r in bounds_rows:
+        per_group.setdefault(r[by], []).append(r["k0"])
+    for ks in per_group.values():
+        ks.sort()
+
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    # schemas mirror the ACTUAL group-key/doc-key dtypes (an int lang
+    # id must not be round-tripped through string, or the broadcast
+    # joins mis-key)
+    b_schema = StructType(
+        [
+            StructField(by, base.schema[by].dataType),
+            StructField("_bounds", ArrayType(base.schema[key_col].dataType)),
+        ]
+    )
+    bdf = spark.createDataFrame(
+        [(g, ks) for g, ks in per_group.items()], b_schema
+    )
+    key = F.col(key_col)
+    sharded = (
+        base.join(F.broadcast(bdf), on=by)
+        .withColumn(
+            "_shard",
+            (F.size(F.filter(F.col("_bounds"), lambda b: b <= key)) - 1).cast("int"),
+        )
+        .drop("_bounds")
+    )
+
+    # 2. exact per-(group, shard) totals over the deterministic
+    #    assignment (one extra scan instead of a pinned cache — the
+    #    right trade at corpus scale), rolled into per-shard offsets
     totals = (
-        local.groupBy(by, "_shard")
-        .agg(F.sum("tokens").alias("_total"))
-        .collect()
+        sharded.groupBy(by, "_shard").agg(F.sum("tokens").alias("_total")).collect()
     )
     offsets: dict[tuple, int] = {}
     running: dict[object, int] = {}
@@ -133,12 +169,6 @@ def pack_sequences(
         g = r[by]
         offsets[(g, r["_shard"])] = running.get(g, 0)
         running[g] = running.get(g, 0) + r["_total"]
-    # offsets schema mirrors the ACTUAL group-key dtype (an int lang
-    # id must not be round-tripped through string, or the broadcast
-    # join below mis-keys)
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
-
-    spark = df.sparkSession
     off_schema = StructType(
         [
             StructField(by, base.schema[by].dataType),
@@ -149,9 +179,18 @@ def pack_sequences(
     off_df = spark.createDataFrame(
         [(g, s, o) for (g, s), o in offsets.items()], off_schema
     )
-    before = F.col("_local_before") + F.col("_offset")
+
+    # 3. bounded per-(group, shard) window cumsum + broadcast offsets
+    w = Window.partitionBy(by, "_shard").orderBy(key_col)
+    local_before = (
+        F.sum("tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("tokens")
+    )
+    before = local_before + F.col("_offset")
     return (
-        local.join(F.broadcast(off_df), on=[by, "_shard"])
+        sharded.join(F.broadcast(off_df), on=[by, "_shard"])
         .select(
             by,
             key_col,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import zipfile
 from pathlib import Path
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -84,14 +84,27 @@ def write_xlsx(sheets: dict[str, tuple[list, list[tuple]]], target: str) -> None
     Sheet names are truncated to Excel's 31-char limit (same rule as
     the openpyxl path in sinks.reports.write_spreadsheet)."""
     Path(target).parent.mkdir(parents=True, exist_ok=True)
-    names = [n[:31] for n in sheets]
+    # truncate to Excel's 31-char limit, then DEDUP: two long names
+    # sharing a prefix must not yield duplicate sheet names (an
+    # invalid workbook Excel refuses to open)
+    names: list[str] = []
+    seen: set[str] = set()
+    for n in sheets:
+        cand = n[:31]
+        i = 1
+        while cand in seen:
+            suffix = f"~{i}"
+            cand = n[: 31 - len(suffix)] + suffix
+            i += 1
+        seen.add(cand)
+        names.append(cand)
     overrides = "\n".join(
         f'<Override PartName="/xl/worksheets/sheet{i}.xml" '
         'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
         for i in range(1, len(names) + 1)
     )
     wb_sheets = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i}" r:id="rId{i}"/>'
+        f'<sheet name={quoteattr(n)} sheetId="{i}" r:id="rId{i}"/>'
         for i, n in enumerate(names, start=1)
     )
     wb_rels = "\n".join(

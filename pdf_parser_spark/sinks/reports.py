@@ -12,9 +12,9 @@ after its pipelines (orchestrate.py:395-422).
   final_report           K6 + A5-A7: summary %, discrepancy samples,
                          rule-based recommendations
   write_report_json      driver-side json.dump of a 1-row aggregate
-  write_spreadsheet      K5: multi-sheet report; openpyxl is absent in
-                         this container so the fallback writes one CSV
-                         per sheet (same data, same layout contract)
+  write_spreadsheet      K5: multi-sheet .xlsx — pandas/openpyxl where
+                         installed, else the vendored stdlib minixlsx
+                         writer; a real workbook lands either way
 
 Reference anchors: validate.py:398-423 (write_report),
 final_report.py:84-167 (write/_compute_summary/_collect_discrepancies/

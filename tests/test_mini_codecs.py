@@ -272,3 +272,35 @@ def test_minixlsx_readback_values(tmp_path):
         wb = ET.fromstring(z.read("xl/workbook.xml"))
         names = [s.get("name") for s in wb.findall(".//m:sheet", ns)]
         assert names == ["metrics", "empty"]
+
+
+def test_minipdf_stream_bytes_containing_markers_do_not_corrupt():
+    """Stream payloads legally contain ANY bytes — including 'endobj'
+    and 'N M obj'. The /Length-driven sequential scan must neither
+    truncate the stream nor let a spurious in-stream object header
+    clobber a real object."""
+    # payload contains both poison markers; declared via /Length
+    poison = b"AAAA\nendobj\n3 0 obj\n<< /Type /Page >>\nBBBB"
+    content = b"BT /F1 9 Tf 10 700 Td (survived) Tj ET"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(poison)).encode() + b" >>\nstream\n"
+        + poison + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+    )
+    # object 3 (the real Page) must survive the poison in object 4,
+    # and object 5 must still be discovered after it
+    objs = minipdf._load_objects(body)
+    assert set(objs) == {1, 2, 3, 4, 5}
+    assert minipdf._obj_dict(objs[3][0]).get("Contents").num == 4
+    assert objs[4][1] == poison
+    assert objs[5][1] == content
+    # end-to-end: the page decodes through the poisoned sibling
+    body2 = body.replace(b"/Contents 4 0 R", b"/Contents 5 0 R")
+    texts = minipdf.extract_pdf_page_texts(body2)
+    assert texts == [(1, "survived")]
