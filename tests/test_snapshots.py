@@ -1,0 +1,88 @@
+"""Snapshot-manifest table layer: commit atomicity, time travel,
+rollback-as-commit, expiry, and composition with the resume contract
+(the north rule's Iceberg-checkpoint shape)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pdf_parser_spark.sinks import snapshots as sn
+from pdf_parser_spark.sources.corpus import synthetic_documents
+
+
+def test_commit_read_time_travel(spark, tmp_path):
+    table = str(tmp_path / "docs_table")
+    docs = synthetic_documents(spark, 20, seed=42).cache()
+    s1 = sn.commit(spark, docs.limit(8), table)
+    s2 = sn.commit(spark, docs.subtract(docs.limit(8)), table)
+    assert (s1["snapshot_id"], s2["snapshot_id"]) == (1, 2)
+    assert s2["parent_id"] == 1 and s2["total_rows"] == 20
+
+    assert sn.read(spark, table).count() == 20          # current
+    assert sn.read(spark, table, snapshot_id=1).count() == 8  # time travel
+    with pytest.raises(KeyError):
+        sn.read(spark, table, snapshot_id=9)
+    docs.unpersist()
+
+
+def test_overwrite_and_rollback_keep_history(spark, tmp_path):
+    table = str(tmp_path / "t2")
+    docs = synthetic_documents(spark, 12, seed=42).cache()
+    sn.commit(spark, docs.limit(5), table)
+    sn.commit(spark, docs, table, operation="overwrite")
+    assert sn.read(spark, table).count() == 12
+    assert sn.read(spark, table, snapshot_id=1).count() == 5
+
+    rb = sn.rollback(table, 1)
+    assert rb["operation"] == "rollback" and rb["snapshot_id"] == 3
+    assert sn.read(spark, table).count() == 5           # head is old set
+    assert sn.read(spark, table, snapshot_id=2).count() == 12  # history intact
+    docs.unpersist()
+
+
+def test_orphan_batch_invisible_without_manifest(spark, tmp_path):
+    """Crash-before-commit simulation: a data directory with no
+    manifest entry must be invisible to readers (the rename IS the
+    commit)."""
+    table = str(tmp_path / "t3")
+    docs = synthetic_documents(spark, 10, seed=42)
+    sn.commit(spark, docs.limit(4), table)
+    # orphan write (as if the job died before writing the manifest)
+    docs.limit(3).write.parquet(str(Path(table) / "data" / "orphan"))
+    assert sn.read(spark, table).count() == 4
+    assert sn.current_snapshot(table)["total_rows"] == 4
+
+
+def test_expire_snapshots_deletes_only_dead_batches(spark, tmp_path):
+    table = str(tmp_path / "t4")
+    docs = synthetic_documents(spark, 15, seed=42).cache()
+    sn.commit(spark, docs.limit(5), table)                      # v1
+    sn.commit(spark, docs.limit(9).subtract(docs.limit(5)), table)  # v2 (appends)
+    sn.commit(spark, docs, table, operation="overwrite")        # v3 (new set)
+    res = sn.expire_snapshots(table, keep_last=1)
+    assert res["removed_snapshots"] == 2
+    assert res["removed_batches"] == 2  # v1/v2 batches unreferenced by v3
+    assert sn.read(spark, table).count() == 15
+    assert len(sn.snapshots(table)) == 1
+    docs.unpersist()
+
+
+def test_snapshot_resume_composition(spark, tmp_path):
+    """The jobs-style resume contract over the snapshot log: anti-join
+    the CURRENT snapshot's url set, commit only the remainder."""
+    table = str(tmp_path / "t5")
+    docs = synthetic_documents(spark, 20, seed=42).cache()
+    sn.commit(spark, docs.limit(12), table)
+    done = sn.read(spark, table).select("url").distinct()
+    remainder = docs.join(done, on="url", how="left_anti")
+    s2 = sn.commit(spark, remainder, table, summary={"resume": True})
+    assert s2["batch_rows"] == 8
+    cur = sn.read(spark, table)
+    assert cur.count() == 20
+    assert cur.select("url").distinct().count() == 20  # idempotent per url
+    docs.unpersist()
