@@ -49,15 +49,26 @@ def run(
     cpus: int | None = None,
     spark=None,
     url_buckets: int | None = None,
+    snapshots: bool = False,
 ) -> dict:
     """`url_buckets=N` writes the extracted table partitioned by
     `url_bucket = pmod(xxhash64(url), N)` — the parquet stand-in for
     Iceberg's `bucket(N, url)` partition spec: point lookups and the
     resume anti-join prune to one bucket directory, and downstream
-    url-keyed joins co-locate."""
+    url-keyed joins co-locate.
+
+    `snapshots=True` commits each batch through the snapshot-manifest
+    layer (sinks/snapshots.py) instead of a plain directory append:
+    every run lands an atomic, time-travelable snapshot, and resume
+    anti-joins the CURRENT snapshot's url set — the literal
+    Iceberg-checkpoint shape of the north rule."""
+    if url_buckets and snapshots:
+        raise ValueError("url_buckets and snapshots are separate layouts; pick one")
     spark = spark or get_spark(app_name="extract-job", cpus=cpus)
     out = Path(outdir)
     extracted_path = str(out / "extracted")
+
+    from pdf_parser_spark.sinks import snapshots as sn
 
     docs = read_documents(spark, input_path)
     n_input = docs.count()
@@ -65,7 +76,12 @@ def run(
     n_already = 0
     if resume:
         try:
-            done = spark.read.parquet(extracted_path).select("url").distinct()
+            done_tbl = (
+                sn.read(spark, extracted_path)
+                if snapshots
+                else spark.read.parquet(extracted_path)
+            )
+            done = done_tbl.select("url").distinct()
             n_already = done.count()
             # broadcast when the processed set is small; Catalyst/AQE
             # picks SMJ automatically once it grows past the threshold
@@ -76,7 +92,13 @@ def run(
     todo = ox.salted_repartition(docs, partitions)
     extracted = ox.extract_documents(todo)
     t0 = time.perf_counter()
-    if url_buckets:
+    snap = None
+    if snapshots:
+        snap = sn.commit(
+            spark, extracted, extracted_path,
+            summary={"job": "extract", "resume": resume},
+        )
+    elif url_buckets:
         bucketed = extracted.withColumn(
             "url_bucket", F.pmod(F.xxhash64("url"), F.lit(url_buckets))
         )
@@ -87,7 +109,9 @@ def run(
 
     # side tables re-read the just-written batch so every stage is
     # restartable from disk (no recompute of the UDF pass)
-    all_extracted = spark.read.parquet(extracted_path)
+    all_extracted = (
+        sn.read(spark, extracted_path) if snapshots else spark.read.parquet(extracted_path)
+    )
     ox.toc_table(all_extracted).write.mode("overwrite").parquet(str(out / "toc"))
     ox.chunks_table(all_extracted).write.mode("overwrite").parquet(str(out / "chunks"))
     ox.validation_table(all_extracted).write.mode("overwrite").parquet(str(out / "validation"))
@@ -110,6 +134,8 @@ def run(
         "docs_per_sec": round(n_new / wall, 2) if wall > 0 else None,
         "status_counts": status_counts,
     }
+    if snap is not None:
+        summary["snapshot_id"] = snap["snapshot_id"]
     return summary
 
 
@@ -121,10 +147,11 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--url-buckets", type=int, default=None)
+    ap.add_argument("--snapshots", action="store_true")
     args = ap.parse_args()
     summary = run(
         args.input, args.outdir, args.resume, args.partitions, args.cpus,
-        url_buckets=args.url_buckets,
+        url_buckets=args.url_buckets, snapshots=args.snapshots,
     )
     print(json.dumps(summary))
 

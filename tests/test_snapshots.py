@@ -86,3 +86,32 @@ def test_snapshot_resume_composition(spark, tmp_path):
     assert cur.count() == 20
     assert cur.select("url").distinct().count() == 20  # idempotent per url
     docs.unpersist()
+
+
+def test_extract_job_snapshot_mode(spark, tmp_path):
+    """jobs/extract.py --snapshots: each run is an atomic snapshot
+    commit; resume anti-joins the current snapshot and commits only
+    the remainder — the north rule's Iceberg-checkpoint restart."""
+    from jobs.extract import run as run_job
+    from pdf_parser_spark.sources.corpus import write_documents
+
+    corpus_half = str(tmp_path / "half.parquet")
+    corpus_full = str(tmp_path / "full.parquet")
+    out = str(tmp_path / "snap_out")
+    full = synthetic_documents(spark, 16, seed=42)
+    write_documents(full.limit(9), corpus_half)
+    write_documents(full, corpus_full)
+
+    first = run_job(corpus_half, out, resume=False, spark=spark, snapshots=True)
+    assert first["snapshot_id"] == 1 and first["newly_extracted"] == 9
+
+    second = run_job(corpus_full, out, resume=True, spark=spark, snapshots=True)
+    assert second["snapshot_id"] == 2
+    assert second["already_extracted"] == 9
+    assert second["newly_extracted"] == 7
+    assert second["total_extracted"] == 16
+
+    table = str(Path(out) / "extracted")
+    assert sn.read(spark, table).select("url").distinct().count() == 16
+    # time travel back to the first batch
+    assert sn.read(spark, table, snapshot_id=1).count() == 9
