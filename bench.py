@@ -177,9 +177,11 @@ def main() -> None:
             "scaling": _scaling_evidence(),
         },
     }
-    # full record (headline + per-query delta map) goes to a FILE; the
-    # stdout line stays compact — round 2's line grew past the driver's
-    # tail-capture window and BENCH_r02 recorded parsed:null
+    # full record (all 70+ per-query timings + delta map) goes to a FILE;
+    # stdout carries only the two pipeline legs — rounds 2 AND 3 both
+    # recorded parsed:null because the full timings map (~2.7 KB) blew
+    # past the driver's ~2,000-char tail-capture window. The compact
+    # line below serializes to ~400 chars and fits with room to spare.
     full = json.loads(json.dumps(headline))
     full["extra"]["delta_vs_prev_sec"] = {
         k: round(timings[k] - prev[k], 3) for k in timings if k in prev
@@ -187,7 +189,15 @@ def main() -> None:
     out_dir = Path(__file__).resolve().parent / "BENCH"
     out_dir.mkdir(exist_ok=True)
     (out_dir / "last_run.json").write_text(json.dumps(full, indent=1))
-    print(json.dumps(headline, separators=(",", ":")))
+    compact = dict(headline)
+    compact["queries"] = {
+        k: timings[k]
+        for k in ("extract_pipeline", "html_strip_pipeline")
+        if k in timings
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1500, f"bench stdout line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

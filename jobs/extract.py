@@ -12,8 +12,9 @@ Pipeline (SURVEY §3 lifecycle → north_rule operational contract):
     → salted repartition xxhash64(url, salt)  (host/mega-doc skew)
     → mapInPandas per-document extraction     (zero further shuffles)
     → append to <outdir>/extracted            (the checkpoint itself)
-    → flat side tables: toc/ chunks/ validation/ doc_metrics/
-    → lineage/ per-partition throughput + parse-failure accounting
+    → flat side tables toc/ chunks/ validation/ doc_metrics/ lineage/
+      derived from THIS batch only and APPENDED (incremental: a resume
+      run's side-table cost ∝ new docs, never corpus size)
 
 Checkpoint/resume semantics: the extracted table IS the checkpoint —
 every completed write lands a consistent batch of whole documents, and
@@ -41,6 +42,14 @@ from pdf_parser_spark.plans.session import get_spark  # noqa: E402
 from pdf_parser_spark.sources.corpus import read_documents  # noqa: E402
 
 
+def _parquet_files(path: str) -> set[str]:
+    """Data-file set of a local parquet table (any partition layout)."""
+    p = Path(path)
+    if not p.exists():
+        return set()
+    return {str(f) for f in p.rglob("*.parquet") if f.is_file()}
+
+
 def run(
     input_path: str,
     outdir: str,
@@ -64,9 +73,20 @@ def run(
     Iceberg-checkpoint shape of the north rule."""
     if url_buckets and snapshots:
         raise ValueError("url_buckets and snapshots are separate layouts; pick one")
+    if "://" in outdir:
+        # side-table batch tracking + the snapshot manifest log use
+        # local-FS semantics (Path.rglob / os.link); same fail-fast
+        # contract as jobs/compact.py — on a cluster, outdir is an
+        # Iceberg table and the incremental scan replaces the file diff
+        raise ValueError(
+            f"jobs/extract.py writes to local filesystem paths only, got {outdir!r}; "
+            "for object-store tables use an Iceberg catalog (docs/RUNBOOK.md)"
+        )
     spark = spark or get_spark(app_name="extract-job", cpus=cpus)
     out = Path(outdir)
     extracted_path = str(out / "extracted")
+
+    from pyspark.errors import AnalysisException
 
     from pdf_parser_spark.sinks import snapshots as sn
 
@@ -81,13 +101,23 @@ def run(
                 if snapshots
                 else spark.read.parquet(extracted_path)
             )
+        except FileNotFoundError:
+            done_tbl = None  # fresh snapshot table → full run
+        except AnalysisException as e:
+            # ONLY missing-table means "nothing extracted yet"; a
+            # corrupt manifest / unreadable checkpoint must abort, or
+            # the job silently re-extracts and appends duplicates
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                done_tbl = None
+            else:
+                raise
+        if done_tbl is not None:
             done = done_tbl.select("url").distinct()
             n_already = done.count()
             # broadcast when the processed set is small; Catalyst/AQE
             # picks SMJ automatically once it grows past the threshold
             docs = docs.join(done, on="url", how="left_anti")
-        except Exception:
-            pass  # nothing extracted yet → full run
 
     todo = ox.salted_repartition(docs, partitions)
     extracted = ox.extract_documents(todo)
@@ -98,33 +128,51 @@ def run(
             spark, extracted, extracted_path,
             summary={"job": "extract", "resume": resume},
         )
-    elif url_buckets:
-        bucketed = extracted.withColumn(
-            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(url_buckets))
-        )
-        bucketed.write.mode("append").partitionBy("url_bucket").parquet(extracted_path)
+        new_batch = sn.read_incremental(spark, extracted_path, snap["snapshot_id"])
     else:
-        extracted.write.mode("append").parquet(extracted_path)
+        # plain-append stand-in for the Iceberg incremental scan:
+        # file-set diff around the write identifies the new batch
+        before = _parquet_files(extracted_path)
+        if url_buckets:
+            bucketed = extracted.withColumn(
+                "url_bucket", F.pmod(F.xxhash64("url"), F.lit(url_buckets))
+            )
+            bucketed.write.mode("append").partitionBy("url_bucket").parquet(extracted_path)
+        else:
+            extracted.write.mode("append").parquet(extracted_path)
+        new_files = sorted(_parquet_files(extracted_path) - before)
+        new_batch = spark.read.parquet(*new_files) if new_files else None
     wall = time.perf_counter() - t0
 
-    # side tables re-read the just-written batch so every stage is
-    # restartable from disk (no recompute of the UDF pass)
-    all_extracted = (
-        sn.read(spark, extracted_path) if snapshots else spark.read.parquet(extracted_path)
-    )
-    ox.toc_table(all_extracted).write.mode("overwrite").parquet(str(out / "toc"))
-    ox.chunks_table(all_extracted).write.mode("overwrite").parquet(str(out / "chunks"))
-    ox.validation_table(all_extracted).write.mode("overwrite").parquet(str(out / "validation"))
-    ox.metrics_table(all_extracted).write.mode("overwrite").parquet(str(out / "doc_metrics"))
-    lineage = ox.lineage_metrics(all_extracted)
-    lineage.write.mode("overwrite").parquet(str(out / "lineage"))
+    # side tables derive from THIS batch only and APPEND — they are
+    # row-wise per-url projections, so append composes, and a resume
+    # run that adds 0.1% new docs touches 0.1% of the data instead of
+    # overwrite-rewriting corpus-sized tables (the r3 scale-killer).
+    # Reading the just-written batch back from disk keeps every stage
+    # restartable without re-running the extract UDF.
+    n_new = 0
+    status_counts: dict[str, int] = {}
+    if new_batch is not None:
+        from pyspark.sql import Observation
 
-    status_counts = {
-        r["status"]: r["n"]
-        for r in all_extracted.groupBy("status").agg(F.count("*").alias("n")).collect()
-    }
-    n_total = all_extracted.count()
-    n_new = n_total - n_already
+        obs = Observation()
+        observed = new_batch.observe(obs, F.count(F.lit(1)).alias("rows"))
+        ox.toc_table(observed).write.mode("append").parquet(str(out / "toc"))
+        ox.chunks_table(new_batch).write.mode("append").parquet(str(out / "chunks"))
+        ox.validation_table(new_batch).write.mode("append").parquet(str(out / "validation"))
+        ox.metrics_table(new_batch).write.mode("append").parquet(str(out / "doc_metrics"))
+        ox.lineage_metrics(new_batch).write.mode("append").parquet(str(out / "lineage"))
+        status_counts = {
+            r["status"]: r["n"]
+            for r in new_batch.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        n_new = int(obs.get["rows"])
+
+    # totals compose from the checkpoint + this batch — no full-table
+    # re-count (snapshots mode reads the manifest's running total,
+    # which also covers pre-existing batches a non-resume append
+    # chained onto)
+    n_total = snap["total_rows"] if snap is not None else n_already + n_new
     summary = {
         "input_docs": n_input,
         "already_extracted": n_already,
@@ -133,6 +181,7 @@ def run(
         "wall_sec_extract": round(wall, 2),
         "docs_per_sec": round(n_new / wall, 2) if wall > 0 else None,
         "status_counts": status_counts,
+        "side_table_rows_processed": n_new,
     }
     if snap is not None:
         summary["snapshot_id"] = snap["snapshot_id"]

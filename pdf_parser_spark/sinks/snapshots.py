@@ -46,6 +46,28 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same snapshot version first.
+
+    Real Iceberg fails the losing compare-and-swap against the catalog;
+    here the exclusive hard-link of the manifest is the CAS. Retrying
+    commit() re-reads the new current snapshot and chains onto it (the
+    data batch is already on disk and stays referenced)."""
+
+
+def _check_local(table: str) -> None:
+    # the manifest log uses Path / os.link / os.replace — local FS
+    # semantics. An object-store URI would mis-resolve to a relative
+    # local dir and "commit" quietly into the wrong place. Same fail-
+    # fast contract as jobs/compact.py; on a cluster the layer swaps
+    # for a real Iceberg catalog (docs/RUNBOOK.md).
+    if "://" in table:
+        raise ValueError(
+            f"sinks/snapshots.py operates on local filesystem paths only, got {table!r}; "
+            "for object-store tables use a real Iceberg catalog (docs/RUNBOOK.md)"
+        )
+
+
 def _snap_dir(table: str) -> Path:
     return Path(table) / "_snapshots"
 
@@ -54,8 +76,31 @@ def _load(p: Path) -> dict:
     return json.loads(p.read_text())
 
 
+def _publish(snap: dict, table: str) -> None:
+    """Atomically publish a manifest with conflict detection: write to
+    a tmp file, then hard-link it to the final name. os.link fails with
+    FileExistsError if the version already exists — the losing writer
+    gets CommitConflictError instead of silently clobbering the other
+    writer's committed batch (which os.replace would)."""
+    d = _snap_dir(table)
+    d.mkdir(parents=True, exist_ok=True)
+    final = d / f"v{snap['snapshot_id']}.json"
+    tmp = d / f".v{snap['snapshot_id']}.{os.getpid()}.json.tmp"
+    tmp.write_text(json.dumps(snap, indent=1))
+    try:
+        os.link(tmp, final)  # the commit point (exclusive CAS)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"snapshot v{snap['snapshot_id']} at {table} was committed by a "
+            "concurrent writer; re-read the current snapshot and retry"
+        ) from None
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
 def snapshots(table: str) -> list[dict]:
     """Commit log, oldest → newest (empty for a fresh table)."""
+    _check_local(table)
     d = _snap_dir(table)
     if not d.exists():
         return []
@@ -81,7 +126,10 @@ def commit(
     batch directory is fully written before the manifest file is
     moved into place with an atomic rename; a crash before the rename
     leaves an orphan data directory (invisible to every reader) and
-    no new snapshot."""
+    no new snapshot. Concurrent commits race on the manifest version;
+    the loser gets CommitConflictError (see _publish), never a silent
+    clobber."""
+    _check_local(table)
     batch = f"data/{uuid.uuid4().hex}"
     batch_path = str(Path(table) / batch)
     df.write.mode("error").parquet(batch_path)
@@ -99,15 +147,15 @@ def commit(
         "parent_id": parent["snapshot_id"] if parent else None,
         "operation": operation,
         "batches": files,
+        # the batch THIS commit added — Iceberg's incremental-scan
+        # handle: jobs derive per-batch side tables from it without
+        # re-reading the whole table (read_incremental)
+        "new_batches": [batch],
         "batch_rows": n_rows,
         "total_rows": total,
         "summary": summary or {},
     }
-    d = _snap_dir(table)
-    d.mkdir(parents=True, exist_ok=True)
-    tmp = d / f".v{snap['snapshot_id']}.json.tmp"
-    tmp.write_text(json.dumps(snap, indent=1))
-    os.replace(tmp, d / f"v{snap['snapshot_id']}.json")  # the commit point
+    _publish(snap, table)
     return snap
 
 
@@ -130,6 +178,30 @@ def read(
     return spark.read.parquet(*paths)
 
 
+def read_incremental(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame | None:
+    """DataFrame over ONLY the batch a snapshot added (Iceberg
+    incremental scan between a snapshot and its parent). Returns None
+    for snapshots that added no data (e.g. rollback). Pre-round-4
+    manifests without `new_batches` fall back to the full file set of
+    a first commit, else None."""
+    log = snapshots(table)
+    if not log:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    snap = log[-1] if snapshot_id is None else next(
+        (s for s in log if s["snapshot_id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise KeyError(f"snapshot {snapshot_id} not in {[s['snapshot_id'] for s in log]}")
+    new = snap.get("new_batches")
+    if new is None:
+        new = snap["batches"] if snap.get("parent_id") is None else []
+    if not new:
+        return None
+    return spark.read.parquet(*(str(Path(table) / b) for b in new))
+
+
 def rollback(table: str, snapshot_id: int) -> dict:
     """Make the table's CURRENT state an older snapshot's file set by
     committing a new 'rollback' snapshot pointing at it — history
@@ -144,14 +216,12 @@ def rollback(table: str, snapshot_id: int) -> dict:
         "parent_id": head["snapshot_id"],
         "operation": "rollback",
         "batches": list(target["batches"]),
+        "new_batches": [],
         "batch_rows": 0,
         "total_rows": target["total_rows"],
         "summary": {"rolled_back_to": snapshot_id},
     }
-    d = _snap_dir(table)
-    tmp = d / f".v{snap['snapshot_id']}.json.tmp"
-    tmp.write_text(json.dumps(snap, indent=1))
-    os.replace(tmp, d / f"v{snap['snapshot_id']}.json")
+    _publish(snap, table)
     return snap
 
 

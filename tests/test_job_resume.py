@@ -218,3 +218,80 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     # no leftover tmp/old dirs
     assert not Path(path + "__compact_tmp").exists()
     assert not Path(path + "__old").exists()
+
+
+def test_resume_side_tables_incremental(spark, tmp_path):
+    """Round-4 scale fix: a resume run derives side tables from the
+    NEW batch only (observe()-counted) and appends — totals unchanged,
+    but the side-table write cost is ∝ new docs, not corpus size."""
+    corpus_half = str(tmp_path / "ih.parquet")
+    corpus_full = str(tmp_path / "if.parquet")
+    out = str(tmp_path / "inc_out")
+    full = synthetic_documents(spark, 20, seed=42)
+    write_documents(full.limit(10), corpus_half)
+    write_documents(full, corpus_full)
+
+    first = run_job(corpus_half, out, resume=False, spark=spark)
+    assert first["side_table_rows_processed"] == 10
+
+    second = run_job(corpus_full, out, resume=True, spark=spark)
+    # the observed side-table input is exactly the new batch
+    assert second["side_table_rows_processed"] == 10
+    assert second["total_extracted"] == 20
+
+    # appended side tables still cover the WHOLE corpus, disjointly
+    validation = spark.read.parquet(str(Path(out) / "validation"))
+    assert validation.count() == 20
+    assert validation.select("url").distinct().count() == 20
+    lineage = spark.read.parquet(str(Path(out) / "lineage"))
+    assert lineage.agg({"docs": "sum"}).collect()[0][0] == 20
+    toc = spark.read.parquet(str(Path(out) / "toc"))
+    assert toc.select("url").distinct().count() > 10  # both batches present
+
+
+def test_resume_corrupt_checkpoint_aborts(spark, tmp_path):
+    """A corrupt checkpoint must ABORT the resume, not silently degrade
+    into a full re-run that appends duplicate rows (r3 verdict #4)."""
+    import pytest
+
+    corpus = str(tmp_path / "cc.parquet")
+    out = str(tmp_path / "cc_out")
+    write_documents(synthetic_documents(spark, 8, seed=42), corpus)
+
+    # snapshots mode: truncated manifest
+    run_job(corpus, out, resume=False, spark=spark, snapshots=True)
+    man = next((Path(out) / "extracted" / "_snapshots").glob("v*.json"))
+    n_files = len(list(Path(out).rglob("*.parquet")))
+    man.write_text(man.read_text()[: len(man.read_text()) // 2])
+    with pytest.raises(Exception) as ei:
+        run_job(corpus, out, resume=True, spark=spark, snapshots=True)
+    assert not isinstance(ei.value, FileNotFoundError)
+    # table unchanged: nothing was re-extracted/appended
+    assert len(list(Path(out).rglob("*.parquet"))) == n_files
+
+    # plain mode: unreadable parquet checkpoint
+    out2 = str(tmp_path / "cc_out2")
+    (Path(out2) / "extracted").mkdir(parents=True)
+    (Path(out2) / "extracted" / "part-00000.parquet").write_bytes(b"not parquet")
+    with pytest.raises(Exception):
+        run_job(corpus, out2, resume=True, spark=spark)
+
+
+def test_resume_fresh_table_still_full_run(spark, tmp_path):
+    """The narrowed except still treats a genuinely missing checkpoint
+    as 'nothing extracted yet' in both modes."""
+    corpus = str(tmp_path / "fr.parquet")
+    write_documents(synthetic_documents(spark, 6, seed=42), corpus)
+    m1 = run_job(corpus, str(tmp_path / "fr_out"), resume=True, spark=spark)
+    assert m1["newly_extracted"] == 6 and m1["already_extracted"] == 0
+    m2 = run_job(
+        corpus, str(tmp_path / "fr_out_s"), resume=True, spark=spark, snapshots=True
+    )
+    assert m2["newly_extracted"] == 6 and m2["already_extracted"] == 0
+
+
+def test_extract_rejects_remote_outdir(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        run_job("/tmp/in.parquet", "s3://bucket/out", spark=spark)

@@ -115,3 +115,52 @@ def test_extract_job_snapshot_mode(spark, tmp_path):
     assert sn.read(spark, table).select("url").distinct().count() == 16
     # time travel back to the first batch
     assert sn.read(spark, table, snapshot_id=1).count() == 9
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    """Two writers racing to the same snapshot version: the loser gets
+    CommitConflictError and the winner's manifest survives byte-for-
+    byte (real Iceberg fails the losing CAS; os.replace would clobber)."""
+    table = str(tmp_path / "cas")
+    docs = synthetic_documents(spark, 6, seed=42)
+    sn.commit(spark, docs.limit(3), table)
+
+    # both writers read parent v1 and race to publish v2
+    winner = {
+        "snapshot_id": 2, "parent_id": 1, "operation": "append",
+        "batches": ["data/w"], "new_batches": ["data/w"],
+        "batch_rows": 1, "total_rows": 4, "summary": {"writer": "A"},
+    }
+    sn._publish(winner, table)
+    loser = dict(winner, summary={"writer": "B"})
+    with pytest.raises(sn.CommitConflictError):
+        sn._publish(loser, table)
+    assert sn.current_snapshot(table)["summary"] == {"writer": "A"}
+    # no tmp litter from the failed publish
+    assert not list((Path(table) / "_snapshots").glob("*.tmp"))
+
+
+def test_snapshots_reject_remote_uri(spark, tmp_path):
+    docs = synthetic_documents(spark, 2, seed=42)
+    with pytest.raises(ValueError, match="local filesystem"):
+        sn.commit(spark, docs, "s3://bucket/t")
+    with pytest.raises(ValueError, match="local filesystem"):
+        sn.read(spark, "s3a://bucket/t")
+    with pytest.raises(ValueError, match="local filesystem"):
+        sn.snapshots("hdfs://nn/t")
+
+
+def test_read_incremental_returns_only_new_batch(spark, tmp_path):
+    table = str(tmp_path / "inc")
+    docs = synthetic_documents(spark, 10, seed=42).cache()
+    sn.commit(spark, docs.limit(6), table)
+    sn.commit(spark, docs.subtract(docs.limit(6)), table)
+    assert sn.read_incremental(spark, table, 1).count() == 6
+    inc2 = sn.read_incremental(spark, table)  # default = current
+    assert inc2.count() == 4
+    # rollback adds no data → incremental scan is empty
+    sn.rollback(table, 1)
+    assert sn.read_incremental(spark, table) is None
+    with pytest.raises(KeyError):
+        sn.read_incremental(spark, table, 99)
+    docs.unpersist()
