@@ -3,7 +3,7 @@
     spark-submit --py-files pdf_parser_spark.zip jobs/curate.py \
         --input  /data/documents.parquet \
         --outdir /data/curated \
-        [--resume] [--no-near-dups] [--cpus 32]
+        [--resume] [--no-near-dups] [--snapshots] [--cpus 32]
 
 The standard pre-training data hygiene pass, end to end:
 
@@ -21,6 +21,12 @@ Same checkpoint/resume contract as jobs/extract.py: the curated table
 IS the checkpoint, `--resume` anti-joins its url set, idempotent per
 url. Quality thresholds are Gopher defaults; drops are counted per
 stage so a threshold change shows up in the funnel, never silently.
+
+`--snapshots` commits the curated AND quarantine tables through the
+snapshot-manifest layer (sinks/snapshots.py): each run is one atomic,
+time-travelable commit per table, resume anti-joins the CURRENT
+snapshots' url sets, and a corrupt manifest ABORTS the resume instead
+of silently re-running the funnel (the jobs/extract.py contract).
 """
 
 from __future__ import annotations
@@ -43,6 +49,20 @@ from pdf_parser_spark.sources.corpus import read_documents  # noqa: E402
 MAX_DUP_LINE_FRAC = 0.3
 
 
+def _read_or_none(spark, path: str, snapshots: bool):
+    """Current table state, or None if nothing committed yet. Missing
+    table → None in both layouts; a CORRUPT snapshot manifest raises
+    (resume must abort, not silently re-adjudicate + re-append)."""
+    if snapshots:
+        from pdf_parser_spark.sinks import snapshots as sn
+
+        try:
+            return sn.read(spark, path)
+        except FileNotFoundError:
+            return None
+    return spark.read.parquet(path) if Path(path).exists() else None
+
+
 def run(
     input_path: str,
     outdir: str,
@@ -51,7 +71,13 @@ def run(
     near_dups: bool = True,
     near_dup_threshold: float = 0.8,
     quarantine: bool = True,
+    snapshots: bool = False,
 ) -> dict:
+    if "://" in outdir:
+        raise ValueError(
+            f"jobs/curate.py writes to local filesystem paths only, got {outdir!r}; "
+            "for object-store tables use an Iceberg catalog (docs/RUNBOOK.md)"
+        )
     spark = spark or get_spark(app_name="curate")
     # every persisted frame is released even when a write fails
     # mid-job — a long-lived session must not accumulate cached
@@ -60,7 +86,7 @@ def run(
     try:
         return _run(
             input_path, outdir, spark, resume, near_dups,
-            near_dup_threshold, quarantine, caches,
+            near_dup_threshold, quarantine, caches, snapshots,
         )
     finally:
         for c in caches:
@@ -79,6 +105,7 @@ def _run(
     near_dup_threshold: float,
     quarantine: bool,
     caches: list,
+    snapshots: bool = False,
 ) -> dict:
     t0 = time.perf_counter()
     out = Path(outdir)
@@ -103,16 +130,18 @@ def _run(
         # re-runs the full funnel on previously-dropped docs and
         # re-appends duplicate (url, reason) quarantine rows
         seen = None
-        if Path(curated_path).exists():
-            done = spark.read.parquet(curated_path).select("url").distinct()
+        cur_tbl = _read_or_none(spark, curated_path, snapshots)
+        if cur_tbl is not None:
+            done = cur_tbl.select("url").distinct()
             already = done.count()
             seen = done
         # gate on the TABLE's existence, not this run's quarantine
         # flag: resuming with quarantine=False must still skip docs an
         # earlier run already adjudicated, or a curated doc's dedup
         # twin re-enters the funnel alone and survives
-        if Path(quarantine_path).exists():
-            q_seen = spark.read.parquet(quarantine_path).select("url")
+        q_tbl = _read_or_none(spark, quarantine_path, snapshots)
+        if q_tbl is not None:
+            q_seen = q_tbl.select("url")
             seen = q_seen if seen is None else seen.unionByName(q_seen)
         if seen is not None:
             docs = docs.join(seen.distinct(), on="url", how="left_anti")
@@ -190,12 +219,31 @@ def _run(
             q_all = q_all.unionByName(
                 losers.select("url", F.lit("near_dup").alias("reason"))
             )
-        q_all.write.mode("append").parquet(quarantine_path)
+        if snapshots:
+            from pdf_parser_spark.sinks import snapshots as sn
+
+            sn.commit(
+                spark, q_all, quarantine_path,
+                summary={"job": "curate", "table": "quarantine", "resume": resume},
+            )
+        else:
+            q_all.write.mode("append").parquet(quarantine_path)
         t = _mark("quarantine_write", t)
 
-    survivors.write.mode("append").parquet(curated_path)
+    snap = None
+    if snapshots:
+        from pdf_parser_spark.sinks import snapshots as sn
+
+        snap = sn.commit(
+            spark, survivors, curated_path,
+            summary={"job": "curate", "table": "curated", "resume": resume},
+        )
+        cur_all = sn.read(spark, curated_path)
+    else:
+        survivors.write.mode("append").parquet(curated_path)
+        cur_all = spark.read.parquet(curated_path)
     t = _mark("curated_write", t)
-    n_curated = spark.read.parquet(curated_path).select("url").distinct().count()
+    n_curated = cur_all.select("url").distinct().count()
 
     n_new = funnel["n_new"] or 0
     n_exact_dropped = (n_new - (funnel["drop_gopher"] or 0) - (funnel["drop_dup_lines"] or 0)) - n_after_exact
@@ -212,6 +260,8 @@ def _run(
         "wall_sec": round(time.perf_counter() - t0, 2),
         "stage_secs": stage_secs,
     }
+    if snap is not None:
+        metrics["snapshot_id"] = snap["snapshot_id"]
     out.mkdir(parents=True, exist_ok=True)
     (out / "curation_metrics.json").write_text(json.dumps(metrics, indent=2))
     return metrics
@@ -224,6 +274,7 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-near-dups", dest="near_dups", action="store_false")
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument("--snapshots", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
     spark = get_spark(app_name="curate", cpus=args.cpus)
@@ -236,6 +287,7 @@ def main() -> None:
                 resume=args.resume,
                 near_dups=args.near_dups,
                 near_dup_threshold=args.near_dup_threshold,
+                snapshots=args.snapshots,
             )
         )
     )

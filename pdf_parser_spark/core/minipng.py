@@ -8,9 +8,10 @@ decodes the standard PNG subset directly:
   decode_png(data) -> (width, height, grayscale bytes)
       8-bit non-interlaced grayscale / gray+alpha / RGB / RGBA,
       all five row filters (None/Sub/Up/Average/Paeth); color is
-      collapsed to L with PIL's ITU-R 601-2 integer luma
-      (L = (R*299 + G*587 + B*114) // 1000) so outputs agree with
-      the PIL path where both exist.
+      collapsed to L with PIL's exact fixed-point ITU-R 601-2 luma
+      (L = (R*19595 + G*38470 + B*7471 + 0x8000) >> 16, round-half-
+      up) so outputs agree pixel-for-pixel with Image.convert('L')
+      where PIL exists.
 
   encode_png_gray(width, height, pixels) -> bytes
       a valid 8-bit grayscale PNG (filter 0 rows, zlib, CRCs) for
@@ -104,10 +105,14 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     if color_type == 4:  # gray + alpha
         for i in range(w * h):
             gray[i] = out[2 * i]
-    else:  # RGB(A): ITU-R 601-2 integer luma, PIL's formula
+    else:  # RGB(A): PIL's EXACT fixed-point ITU-R 601-2 luma —
+        # Image.convert('L') computes (R*19595 + G*38470 + B*7471 +
+        # 0x8000) >> 16 (round-half-up); a //1000 floor disagrees by 1
+        # on rounding boundaries (e.g. pure r=149), which would make
+        # image hashes differ between PIL and non-PIL containers
         for i in range(w * h):
             r, g, b = out[nch * i], out[nch * i + 1], out[nch * i + 2]
-            gray[i] = (r * 299 + g * 587 + b * 114) // 1000
+            gray[i] = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
     return w, h, bytes(gray)
 
 

@@ -148,8 +148,13 @@ def pack_sequences(
         [(g, ks) for g, ks in per_group.items()], b_schema
     )
     key = F.col(key_col)
+    # NULL-SAFE join: a null group key is a real group (the window path
+    # and SQL PARTITION BY both keep it); a plain equi-join would
+    # silently drop those rows from the packed output
+    bdfr = bdf.withColumnRenamed(by, "_g")
     sharded = (
-        base.join(F.broadcast(bdf), on=by)
+        base.join(F.broadcast(bdfr), F.col(by).eqNullSafe(F.col("_g")))
+        .drop("_g")
         .withColumn(
             "_shard",
             (F.size(F.filter(F.col("_bounds"), lambda b: b <= key)) - 1).cast("int"),
@@ -165,7 +170,10 @@ def pack_sequences(
     )
     offsets: dict[tuple, int] = {}
     running: dict[object, int] = {}
-    for r in sorted(totals, key=lambda r: (r[by], r["_shard"])):
+    # only the per-group shard ORDER matters; sorting by shard alone
+    # keeps it ascending within every group and never compares group
+    # keys (a null group key would make a (g, shard) sort raise)
+    for r in sorted(totals, key=lambda r: r["_shard"]):
         g = r[by]
         offsets[(g, r["_shard"])] = running.get(g, 0)
         running[g] = running.get(g, 0) + r["_total"]
@@ -189,8 +197,12 @@ def pack_sequences(
         - F.col("tokens")
     )
     before = local_before + F.col("_offset")
+    offr = off_df.withColumnRenamed(by, "_g").withColumnRenamed("_shard", "_s")
     return (
-        sharded.join(F.broadcast(off_df), on=[by, "_shard"])
+        sharded.join(
+            F.broadcast(offr),
+            F.col(by).eqNullSafe(F.col("_g")) & (F.col("_shard") == F.col("_s")),
+        )
         .select(
             by,
             key_col,

@@ -295,3 +295,55 @@ def test_extract_rejects_remote_outdir(spark):
 
     with pytest.raises(ValueError, match="local filesystem"):
         run_job("/tmp/in.parquet", "s3://bucket/out", spark=spark)
+
+
+def test_curate_snapshot_mode_resume(spark, tmp_path):
+    """curate --snapshots: curated AND quarantine are snapshot tables —
+    each run is one atomic commit per table, resume anti-joins the
+    current snapshots, and a corrupt manifest aborts the resume."""
+    import pytest
+
+    from jobs.curate import run as run_curate
+    from pdf_parser_spark.sinks import snapshots as sn
+
+    corpus_half = str(tmp_path / "sh.parquet")
+    corpus_full = str(tmp_path / "sf.parquet")
+    out = str(tmp_path / "scur")
+    full = synthetic_documents(spark, 24, seed=42)
+    write_documents(full.limit(12), corpus_half)
+    write_documents(full, corpus_full)
+
+    first = run_curate(corpus_half, out, spark=spark, resume=False, snapshots=True)
+    assert first["snapshot_id"] == 1
+    assert first["new_docs"] == 12
+
+    second = run_curate(corpus_full, out, spark=spark, resume=True, snapshots=True)
+    assert second["snapshot_id"] == 2
+    assert second["new_docs"] == 12  # only the unseen half re-adjudicated
+    assert second["already_curated"] == first["total_curated"]
+
+    cur = sn.read(spark, str(Path(out) / "curated"))
+    q = sn.read(spark, str(Path(out) / "quarantine"))
+    assert cur.select("url").distinct().count() == cur.count() == second["total_curated"]
+    assert q.select("url", "reason").distinct().count() == q.count()
+    # disjoint, complete adjudication of all 24 urls
+    assert cur.select("url").intersect(q.select("url")).count() == 0
+    assert cur.select("url").union(q.select("url")).distinct().count() == 24
+    # time travel: first run's curated batch is still addressable
+    assert sn.read(spark, str(Path(out) / "curated"), snapshot_id=1).count() == first["newly_curated"]
+
+    # corrupt manifest → resume aborts (no silent full re-run)
+    man = sorted((Path(out) / "curated" / "_snapshots").glob("v*.json"))[-1]
+    man.write_text(man.read_text()[:40])
+    with pytest.raises(Exception) as ei:
+        run_curate(corpus_full, out, spark=spark, resume=True, snapshots=True)
+    assert not isinstance(ei.value, FileNotFoundError)
+
+
+def test_curate_rejects_remote_outdir(spark):
+    import pytest
+
+    from jobs.curate import run as run_curate
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        run_curate("/tmp/in.parquet", "s3://bucket/out", spark=spark)

@@ -164,7 +164,41 @@ def test_minipng_rgb_luma_matches_pil_formula():
         + minipng._chunk(b"IEND", b"")
     )
     _, _, out = minipng.decode_png(data)
-    assert out == bytes([(255 * 299) // 1000, (255 * 587) // 1000])
+    # PIL's exact fixed-point convert('L'): (R*19595+G*38470+B*7471+0x8000)>>16
+    assert out == bytes(
+        [(255 * 19595 + 0x8000) >> 16, (255 * 38470 + 0x8000) >> 16]
+    )
+
+
+def test_minipng_luma_rounds_half_up_like_pil():
+    """r=149 pure red: floor(//1000) gives 44, PIL rounds to 45 —
+    the boundary case the r3 advice flagged; plus a PIL cross-check
+    for every pure level when PIL is installed."""
+    def rgb_png(*pixels):
+        w = len(pixels)
+        ihdr = struct.pack(">IIBBBBB", w, 1, 8, 2, 0, 0, 0)
+        raw = b"\x00" + b"".join(bytes(p) for p in pixels)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + minipng._chunk(b"IHDR", ihdr)
+            + minipng._chunk(b"IDAT", zlib.compress(raw))
+            + minipng._chunk(b"IEND", b"")
+        )
+
+    _, _, out = minipng.decode_png(rgb_png((149, 0, 0)))
+    assert out[0] == 45  # (149*19595+0x8000)>>16 — floor//1000 gave 44
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return  # fixed-point expression above IS PIL's, verified where installed
+    import io
+
+    levels = [(v, 0, 0) for v in range(256)] + [(0, v, 0) for v in range(256)]
+    data = rgb_png(*levels)
+    pil = Image.open(io.BytesIO(data)).convert("L").tobytes()
+    _, _, ours = minipng.decode_png(data)
+    assert ours == pil
 
 
 def test_minipng_row_filters_sub_up_average_paeth():

@@ -109,6 +109,28 @@ def test_pack_sequences_sharded_int_group_key(spark):
     assert sharded == single and len(single) == 60
 
 
+def test_pack_sequences_null_group_key_kept(spark):
+    """A null group key (e.g. lang unknown) is a real group: the
+    sharded default must keep those rows and agree with the
+    single-window path (r3 advice: the equi-join silently dropped
+    them)."""
+    docs = [
+        (i, None if i % 4 == 0 else ["en", "de"][i % 2], " ".join(["t"] * (20 + (i * 7) % 90)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, lang: string, text: string")
+    single = {
+        (r["lang"], r["doc_id"]): r["seq_id"]
+        for r in pk.pack_sequences(df, budget=200, shards=None).collect()
+    }
+    sharded = {
+        (r["lang"], r["doc_id"]): r["seq_id"]
+        for r in pk.pack_sequences(df, budget=200, shards=5).collect()
+    }
+    assert len(single) == 60  # window path keeps null-lang rows
+    assert sharded == single  # ...and so does the sharded default now
+
+
 def test_pack_sequences_default_is_sharded(spark):
     """The DEFAULT call must take the distributed prefix-sum path:
     no whole-group Window (which would put an entire language in one
