@@ -84,9 +84,10 @@ def _decode_image(data: bytes) -> tuple[int, int, bytes]:
     """→ (width, height, grayscale pixels). FIMG fake container decodes
     natively; real image bytes go through PIL when installed
     (import-gated — VERDICT r1 item 7), else the vendored pure-Python
-    minipng reader handles real PNGs (same ITU-R 601-2 luma as PIL's
-    'L' convert, so the two paths agree); other real formats (JPEG
-    etc.) still need PIL and raise."""
+    codecs handle real PNGs (minipng — bit-exact PIL 'L' parity) and
+    real baseline JPEGs (minijpeg — ±1/pixel of libjpeg, the JPEG
+    spec's allowed IDCT variance); other real formats still need PIL
+    and raise."""
     if data[:4] == b"FIMG":
         w, h = struct.unpack(">II", data[4:12])
         return w, h, data[12 : 12 + w * h]
@@ -104,8 +105,12 @@ def _decode_image(data: bytes) -> tuple[int, int, bytes]:
         from ..core.minipng import decode_png
 
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from ..core.minijpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "real non-PNG image bytes but PIL not installed in this container"
+        "real non-PNG/JPEG image bytes but PIL not installed in this container"
     )
 
 

@@ -54,16 +54,23 @@ def test_truncated_png_surfaces_decode_error():
         _decode_image(png_magic)
 
 
-def test_real_non_png_image_without_pil_raises():
+def test_real_unsupported_image_without_pil_raises():
+    # JPEG bytes now get a REAL decode attempt (core/minijpeg — r4):
+    # truncated data is a ValueError from the codec, not a
+    # NotImplementedError from a missing seam
     jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    with pytest.raises((ValueError, OSError)):
+        _decode_image(jpeg_magic)
+    # formats with no vendored decoder (GIF) still raise the seam error
+    gif_magic = b"GIF89a" + b"\x00" * 16
     try:
         import PIL  # noqa: F401
 
         with pytest.raises(Exception):
-            _decode_image(jpeg_magic)
+            _decode_image(gif_magic)
     except ImportError:
         with pytest.raises(NotImplementedError):
-            _decode_image(jpeg_magic)
+            _decode_image(gif_magic)
 
 
 def test_pil_roundtrip_if_installed():

@@ -338,3 +338,64 @@ def test_minipdf_stream_bytes_containing_markers_do_not_corrupt():
     body2 = body.replace(b"/Contents 4 0 R", b"/Contents 5 0 R")
     texts = minipdf.extract_pdf_page_texts(body2)
     assert texts == [(1, "survived")]
+
+
+# ------------------------------------------------------------------ JPEG
+
+from pdf_parser_spark.core import minijpeg  # noqa: E402
+
+
+def test_minijpeg_roundtrip_near_lossless():
+    """Gradient + structured 24x16 gray image through encode->decode:
+    flat quant=1 is near-lossless (float DCT rounding only)."""
+    w, h = 24, 16
+    px = bytes(((x * 7 + y * 11) % 251 for y in range(h) for x in range(w)))
+    data = minijpeg.encode_jpeg_gray(w, h, px, quant=1)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dw, dh, out = minijpeg.decode_jpeg(data)
+    assert (dw, dh) == (w, h)
+    err = max(abs(a - b) for a, b in zip(px, out))
+    assert err <= 2, f"max pixel error {err}"
+
+
+def test_minijpeg_solid_and_nonmultiple_of_8():
+    # 10x5 (needs edge padding + crop), solid value survives exactly
+    w, h = 10, 5
+    px = bytes([137] * (w * h))
+    dw, dh, out = minijpeg.decode_jpeg(minijpeg.encode_jpeg_gray(w, h, px, quant=2))
+    assert (dw, dh) == (w, h)
+    assert max(abs(137 - v) for v in out) <= 1
+
+
+def test_minijpeg_decode_through_image_seam():
+    """multimodal._decode_image routes raw JPEG bytes to minijpeg when
+    PIL is absent (and PIL agrees within the spec's IDCT variance when
+    installed)."""
+    w, h = 16, 8
+    px = bytes(((x * 16 + y * 3) % 256 for y in range(h) for x in range(w)))
+    data = minijpeg.encode_jpeg_gray(w, h, px, quant=1)
+    dw, dh, out = _decode_image(data)
+    assert (dw, dh) == (w, h)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 2
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    import io
+
+    pil = Image.open(io.BytesIO(data)).convert("L").tobytes()
+    assert max(abs(a - b) for a, b in zip(pil, out)) <= 2
+
+
+def test_minijpeg_rejects_progressive_and_garbage():
+    import pytest
+
+    w, h = 8, 8
+    data = bytearray(minijpeg.encode_jpeg_gray(w, h, bytes(64), quant=2))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="SOF0"):
+        minijpeg.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        minijpeg.decode_jpeg(b"not a jpeg")

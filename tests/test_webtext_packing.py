@@ -233,6 +233,51 @@ def test_winnowing_shared_substring_guarantee(spark):
         assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fingerprint"
 
 
+def test_winnowing_max_chars_prefix_identical(spark):
+    """max_chars=N must select EXACTLY the fingerprints of the
+    manually-truncated document — the capped curation-funnel variant
+    keeps every selection guarantee within the prefix — and bound the
+    mega-doc cost tail."""
+    import random
+
+    from pdf_parser_spark.operators.dedup import winnowed_fingerprints
+
+    rng = random.Random(23)
+    alpha = "abcdefgh "
+    docs = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.choice([40, 200, 1500]))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    cap = 300
+    capped = {
+        (r["doc_id"], r["fp"])
+        for r in winnowed_fingerprints(df, key_col="doc_id", max_chars=cap).collect()
+    }
+    trunc = df.selectExpr("doc_id", f"substring(text, 1, {cap}) AS text")
+    manual = {
+        (r["doc_id"], r["fp"])
+        for r in winnowed_fingerprints(trunc, key_col="doc_id").collect()
+    }
+    assert capped == manual
+    # short docs are untouched by the cap
+    short_ids = {i for i, t in docs if len(t) <= cap}
+    full = {
+        (r["doc_id"], r["fp"])
+        for r in winnowed_fingerprints(df, key_col="doc_id").collect()
+    }
+    assert {x for x in capped if x[0] in short_ids} == {
+        x for x in full if x[0] in short_ids
+    }
+    # the 1500-char docs contribute at most ~cap fingerprints each
+    long_ids = {i for i, t in docs if len(t) > cap}
+    per_long = {}
+    for d, _ in capped:
+        if d in long_ids:
+            per_long[d] = per_long.get(d, 0) + 1
+    assert per_long and all(v <= cap for v in per_long.values())
+
+
 def test_simhash_near_identical_small_hamming(spark):
     """SimHash property (independent of the portable oracle): a doc
     and a lightly-perturbed copy land within a small Hamming distance;

@@ -120,11 +120,53 @@ def main() -> None:
             F.sum("parse_failures").alias("parse_failures"),
             F.count("*").alias("partitions"),
         ).first()
+        # failure ATTRIBUTION (VERDICT r3 item 6): the r3 run showed a
+        # 13.8% parse_failures rate vs the ~4% designed-malformed
+        # fraction (synth.py). Decompose: malformed rows land as
+        # status='empty' (~4%); status='error' is the REFERENCE-
+        # faithful heading-sort crash (int() on a de-spaced Table/
+        # Figure caption id or appendix letter) whose designed
+        # incidence via the heading-driven/mega-doc shapes is ~13-14%
+        # (the 30-doc golden corpus errors at 4/30 for the same
+        # reason). Assert both so a real decode regression can't hide.
+        status = {
+            r["status"]: r["n"]
+            for r in extracted.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        err_lines = F.filter(F.split("error", "\n"), lambda x: F.length(F.trim(x)) > 0)
+        reason = F.regexp_replace(F.element_at(err_lines, -1), "[0-9]+", "#")
+        reasons = {
+            r["reason"]: r["n"]
+            for r in extracted.where(F.col("status") == "error")
+            .groupBy(reason.alias("reason"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"))
+            .limit(8)
+            .collect()
+        }
+        empty_frac = status.get("empty", 0) / n_ex
+        err_frac = status.get("error", 0) / n_ex
+        known_crash = sum(n for r, n in reasons.items() if "invalid literal for int()" in r)
+        assert abs(empty_frac - 0.04) < 0.015, (
+            f"designed-malformed fraction drifted: empty={empty_frac:.3f} (expect ~0.04)"
+        )
+        assert known_crash == status.get("error", 0), (
+            f"unexplained error reasons: {reasons} — a decode regression, not the "
+            "reference-faithful heading-sort crash"
+        )
         results["legs"]["extract_pipeline"] = {
             "sec": round(ex_sec, 2),
             "rows": n_ex,
             "docs_per_sec": round(n_ex / ex_sec, 1),
             "lineage_skew": {k: float(skew[k]) for k in skew.asDict()},
+            "status_counts": status,
+            "error_reasons": reasons,
+            "failure_attribution": (
+                f"empty={empty_frac:.3f} = the ~4% designed-malformed rows; "
+                f"error={err_frac:.3f} = reference-faithful int()-sort crash on "
+                "de-spaced caption ids / appendix letters (all error rows match), "
+                "designed via the heading-driven + mega-doc corpus shapes"
+            ),
         }
         print("extract:", results["legs"]["extract_pipeline"], flush=True)
         lineage.unpersist()
@@ -139,12 +181,37 @@ def main() -> None:
             dd.near_dup_pairs_minhash(docs, text_col="text", key_col="url", threshold=0.7)
         ),
     )
-    leg(
+    n_fp = leg(
         "winnowing_xxhash",
         lambda: _force(
             dd.winnowed_fingerprints(docs, text_col="text", key_col="url", k=8, window=4, portable=False)
         ),
     )
+    if n_fp is not None:
+        w = results["legs"]["winnowing_xxhash"]
+        w["fingerprints_per_sec"] = round(n_fp / w["sec"], 1)
+        w["docs_per_sec"] = round(args.docs / w["sec"], 1)
+        w["budget_note"] = (
+            "winnowing hashes every char position — the deliberate dominant "
+            "cost of any funnel that enables it (~91% of this job in r3); "
+            "the capped leg below is the budgeted curation-funnel variant"
+        )
+    # budgeted opt-in: fingerprint only the first 16 KiB per doc —
+    # caps the mega-doc tail (selection guarantees unchanged within
+    # the prefix; see winnowed_fingerprints docstring)
+    n_fp_cap = leg(
+        "winnowing_xxhash_capped16k",
+        lambda: _force(
+            dd.winnowed_fingerprints(
+                docs, text_col="text", key_col="url", k=8, window=4,
+                portable=False, max_chars=16384,
+            )
+        ),
+    )
+    if n_fp_cap is not None:
+        w = results["legs"]["winnowing_xxhash_capped16k"]
+        w["fingerprints_per_sec"] = round(n_fp_cap / w["sec"], 1)
+        w["docs_per_sec"] = round(args.docs / w["sec"], 1)
     leg(
         "simhash_near_dups",
         lambda: _force(
