@@ -152,6 +152,7 @@ def run(
     # restartable without re-running the extract UDF.
     n_new = 0
     status_counts: dict[str, int] = {}
+    t_side0 = time.perf_counter()
     if new_batch is not None:
         from pyspark.sql import Observation
 
@@ -167,6 +168,7 @@ def run(
             for r in new_batch.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
         n_new = int(obs.get["rows"])
+    side_sec = time.perf_counter() - t_side0
 
     # totals compose from the checkpoint + this batch — no full-table
     # re-count (snapshots mode reads the manifest's running total,
@@ -179,6 +181,7 @@ def run(
         "newly_extracted": n_new,
         "total_extracted": n_total,
         "wall_sec_extract": round(wall, 2),
+        "wall_sec_side_tables": round(side_sec, 2),
         "docs_per_sec": round(n_new / wall, 2) if wall > 0 else None,
         "status_counts": status_counts,
         "side_table_rows_processed": n_new,
