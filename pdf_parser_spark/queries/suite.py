@@ -2626,6 +2626,42 @@ def q70(spark, sf):
     )
 
 
+@register(
+    "q71_winnowed_capped",
+    """
+    WITH c AS (SELECT doc_id, substr(text, 1, 256) AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(t) - 8 + 1, 1)),
+               i -> ('0x' || substr(md5(substr(t, i, 8) || '#0'), 1, 15))::BIGINT
+             ) AS hs
+      FROM c
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 4 + 1, 1)),
+               j -> list_min(hs[j : j + 3])
+             )) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM sel
+    """,
+)
+def q71(spark, sf):
+    """Budget-capped winnowing (max_chars=256 at suite scale; 16 KiB in
+    production — BENCH/BASELINE.md r4): fingerprints only the document
+    prefix, bit-identical to uncapped winnowing restricted to it. The
+    oracle replays the cap as substr(text, 1, N) feeding the exact q48
+    pipeline — proving the capped variant changes WHERE winnowing looks,
+    never WHAT it selects."""
+    d = _t(spark, sf, "documents")
+    return dedup.winnowed_fingerprints(
+        d, text_col="text", key_col="doc_id", k=8, window=4, max_chars=256
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================
