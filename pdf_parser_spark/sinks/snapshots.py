@@ -225,6 +225,26 @@ def rollback(table: str, snapshot_id: int) -> dict:
     return snap
 
 
+def remove_orphans(table: str) -> dict:
+    """Iceberg's remove_orphan_files: delete data directories no
+    manifest references — crash-before-commit leftovers and losing
+    concurrent writers' batches (their CommitConflictError aborts
+    AFTER the data write). Safe by construction: a batch becomes
+    visible only via a committed manifest, so an unreferenced
+    directory can never be read. Returns {removed_batches}."""
+    import shutil
+
+    live = {b for s in snapshots(table) for b in s["batches"]}
+    data = Path(table) / "data"
+    removed = 0
+    if data.exists():
+        for d in data.iterdir():
+            if d.is_dir() and f"data/{d.name}" not in live:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+    return {"removed_batches": removed}
+
+
 def expire_snapshots(table: str, keep_last: int = 2) -> dict:
     """Iceberg's expire_snapshots: drop manifests older than the last
     `keep_last` and DELETE data directories no surviving snapshot

@@ -164,3 +164,18 @@ def test_read_incremental_returns_only_new_batch(spark, tmp_path):
     with pytest.raises(KeyError):
         sn.read_incremental(spark, table, 99)
     docs.unpersist()
+
+
+def test_remove_orphans_deletes_only_unreferenced(spark, tmp_path):
+    table = str(tmp_path / "orph")
+    docs = synthetic_documents(spark, 8, seed=42)
+    sn.commit(spark, docs.limit(5), table)
+    # crash-before-commit leftover + a losing writer's batch
+    docs.limit(2).write.parquet(str(Path(table) / "data" / "deadbeef"))
+    docs.limit(1).write.parquet(str(Path(table) / "data" / "loser01"))
+    assert sn.remove_orphans(table) == {"removed_batches": 2}
+    assert sn.read(spark, table).count() == 5  # committed data untouched
+    assert sn.remove_orphans(table) == {"removed_batches": 0}  # idempotent
+    # guard applies here too
+    with pytest.raises(ValueError, match="local filesystem"):
+        sn.remove_orphans("s3://bucket/t")
