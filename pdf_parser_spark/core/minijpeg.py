@@ -389,6 +389,81 @@ def _magnitude(v: int) -> tuple[int, int]:
     return n, (v if v > 0 else v + (1 << n) - 1)
 
 
+def _encode_block(
+    plane: list[int] | bytes,
+    pw: int,
+    ph: int,
+    ox: int,
+    oy: int,
+    quant: int,
+    pred: int,
+    bw: _BitWriter,
+    dc_codes,
+    ac_codes,
+) -> int:
+    """FDCT + quantize + Huffman-encode one edge-replicated 8x8 block
+    sampled from `plane` at (ox, oy). Returns the new DC predictor."""
+    block = [0.0] * 64
+    for yy in range(8):
+        sy = min(oy + yy, ph - 1)
+        for xx in range(8):
+            sx = min(ox + xx, pw - 1)
+            block[yy * 8 + xx] = plane[sy * pw + sx] - 128.0
+    tmp = [0.0] * 64
+    for r in range(8):
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += block[r * 8 + x] * _COS[u][x]
+            tmp[r * 8 + u] = s
+    zz = [0] * 64
+    for c in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += tmp[y * 8 + c] * _COS[v][y]
+            zz[v * 8 + c] = int(round(s / quant))
+    diff = zz[0] - pred
+    n, bits = _magnitude(diff)
+    length, code = dc_codes[n]
+    bw.put(length, code)
+    if n:
+        bw.put(n, bits)
+    run = 0
+    for k in range(1, 64):
+        v = zz[_ZIGZAG[k]]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]
+            bw.put(length, code)
+            run -= 16
+        n, bits = _magnitude(v)
+        if n > 10:
+            raise ValueError("minijpeg: coefficient category > 10 (lower quant?)")
+        length, code = ac_codes[(run << 4) | n]
+        bw.put(length, code)
+        bw.put(n, bits)
+        run = 0
+    if run:
+        length, code = ac_codes[0x00]  # EOB
+        bw.put(length, code)
+    return zz[0]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _tables(quant: int) -> bytes:
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    dht = _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS) + _seg(
+        0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS
+    )
+    return dqt + dht
+
+
 def encode_jpeg_gray(width: int, height: int, pixels: bytes, quant: int = 4) -> bytes:
     if len(pixels) != width * height:
         raise ValueError("minijpeg: pixels != width*height")
@@ -398,69 +473,84 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes, quant: int = 4) -> 
     ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMS)
     bw = _BitWriter()
     pred = 0
-    bx_n = (width + 7) // 8
-    by_n = (height + 7) // 8
-    block = [0.0] * 64
-    for by in range(by_n):
-        for bx in range(bx_n):
-            # edge-replicated 8x8 block, level-shifted
-            for yy in range(8):
-                sy = min(by * 8 + yy, height - 1)
-                for xx in range(8):
-                    sx = min(bx * 8 + xx, width - 1)
-                    block[yy * 8 + xx] = pixels[sy * width + sx] - 128.0
-            # forward DCT (transpose of the IDCT basis), quantize
-            tmp = [0.0] * 64
-            for r in range(8):
-                for u in range(8):
-                    s = 0.0
-                    for x in range(8):
-                        s += block[r * 8 + x] * _COS[u][x]
-                    tmp[r * 8 + u] = s
-            zz = [0] * 64
-            for c in range(8):
-                for v in range(8):
-                    s = 0.0
-                    for y in range(8):
-                        s += tmp[y * 8 + c] * _COS[v][y]
-                    zz[v * 8 + c] = int(round(s / quant))
-            # DC
-            diff = zz[0] - pred
-            pred = zz[0]
-            n, bits = _magnitude(diff)
-            length, code = dc_codes[n]
-            bw.put(length, code)
-            if n:
-                bw.put(n, bits)
-            # AC in zigzag order with run-lengths
-            run = 0
-            for k in range(1, 64):
-                v = zz[_ZIGZAG[k]]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_codes[0xF0]
-                    bw.put(length, code)
-                    run -= 16
-                n, bits = _magnitude(v)
-                if n > 10:
-                    raise ValueError("minijpeg: coefficient category > 10 (lower quant?)")
-                length, code = ac_codes[(run << 4) | n]
-                bw.put(length, code)
-                bw.put(n, bits)
-                run = 0
-            if run:
-                length, code = ac_codes[0x00]  # EOB
-                bw.put(length, code)
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            pred = _encode_block(
+                pixels, width, height, bx * 8, by * 8, quant, pred, bw, dc_codes, ac_codes
+            )
+    sof = _seg(0xC0, bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + _tables(quant) + sof + sos + bw.flush() + b"\xff\xd9"
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    dqt = seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
-    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS) + seg(
-        0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS
+def encode_jpeg_rgb(
+    width: int, height: int, rgb: bytes, quant: int = 4, subsample: bool = True
+) -> bytes:
+    """3-component YCbCr baseline JPEG; subsample=True emits 4:2:0
+    (Y at 2x2, 2x2-averaged chroma — exercises the decoder's MCU
+    interleave and chroma upsample), False emits 4:4:4. All components
+    share the flat quant table and the fixed Huffman tables."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("minijpeg: rgb != width*height*3")
+    if not 1 <= quant <= 255:
+        raise ValueError("minijpeg: quant must be 1..255")
+    yp = [0] * (width * height)
+    cb = [0.0] * (width * height)
+    cr = [0.0] * (width * height)
+    for i in range(width * height):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        yv = 0.299 * r + 0.587 * g + 0.114 * b
+        yp[i] = min(255, max(0, int(yv + 0.5)))
+        cb[i] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr[i] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample:
+        cw, chh = (width + 1) // 2, (height + 1) // 2
+        cbp = [0] * (cw * chh)
+        crp = [0] * (cw * chh)
+        for cy in range(chh):
+            for cx in range(cw):
+                acc_b = acc_r = cnt = 0.0
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        sy, sx = cy * 2 + dy, cx * 2 + dx
+                        if sy < height and sx < width:
+                            acc_b += cb[sy * width + sx]
+                            acc_r += cr[sy * width + sx]
+                            cnt += 1
+                cbp[cy * cw + cx] = min(255, max(0, int(acc_b / cnt + 0.5)))
+                crp[cy * cw + cx] = min(255, max(0, int(acc_r / cnt + 0.5)))
+        hv_y = 0x22
+    else:
+        cw, chh = width, height
+        cbp = [min(255, max(0, int(v + 0.5))) for v in cb]
+        crp = [min(255, max(0, int(v + 0.5))) for v in cr]
+        hv_y = 0x11
+
+    dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMS)
+    ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    y_h = 2 if subsample else 1
+    mcu_px = 8 * y_h
+    for my in range((height + mcu_px - 1) // mcu_px):
+        for mx in range((width + mcu_px - 1) // mcu_px):
+            for by in range(y_h):
+                for bx in range(y_h):
+                    preds[0] = _encode_block(
+                        yp, width, height,
+                        (mx * y_h + bx) * 8, (my * y_h + by) * 8,
+                        quant, preds[0], bw, dc_codes, ac_codes,
+                    )
+            preds[1] = _encode_block(
+                cbp, cw, chh, mx * 8, my * 8, quant, preds[1], bw, dc_codes, ac_codes
+            )
+            preds[2] = _encode_block(
+                crp, cw, chh, mx * 8, my * 8, quant, preds[2], bw, dc_codes, ac_codes
+            )
+    sof = _seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", height, width)
+        + bytes([3, 1, hv_y, 0, 2, 0x11, 0, 3, 0x11, 0]),
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + _tables(quant) + sof + sos + bw.flush() + b"\xff\xd9"

@@ -399,3 +399,42 @@ def test_minijpeg_rejects_progressive_and_garbage():
         minijpeg.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         minijpeg.decode_jpeg(b"not a jpeg")
+
+
+def test_minijpeg_ycbcr_420_and_444_decode():
+    """Exercises the decoder's 3-component path: MCU interleave, per-
+    component DC predictors, chroma upsampling. Solid colors avoid
+    subsampling edge artifacts; expected gray = PIL luma of the RGB."""
+    def luma(r, g, b):
+        return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+    for subsample in (True, False):
+        for color in [(200, 30, 60), (10, 250, 10), (128, 128, 128)]:
+            w, h = 20, 12  # non-multiple of the 16px (4:2:0) MCU
+            rgb = bytes(color) * (w * h)
+            data = minijpeg.encode_jpeg_rgb(w, h, rgb, quant=2, subsample=subsample)
+            dw, dh, out = minijpeg.decode_jpeg(data)
+            assert (dw, dh) == (w, h)
+            want = luma(*color)
+            err = max(abs(v - want) for v in out)
+            assert err <= 3, f"{color} subsample={subsample}: err {err}"
+
+
+def test_minijpeg_420_blockwise_image():
+    """Two-tone image with 16px-aligned regions (no chroma bleed):
+    each half decodes to its own luma."""
+    def luma(r, g, b):
+        return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+    w, h = 32, 16
+    left, right = (220, 40, 40), (40, 40, 220)
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgb += bytes(left if x < 16 else right)
+    data = minijpeg.encode_jpeg_rgb(w, h, bytes(rgb), quant=2)
+    _, _, out = minijpeg.decode_jpeg(data)
+    # sample away from the 16px boundary (DCT ringing lives there)
+    for y in (2, 8, 13):
+        assert abs(out[y * w + 4] - luma(*left)) <= 4
+        assert abs(out[y * w + 27] - luma(*right)) <= 4
