@@ -42,11 +42,11 @@ def run(path: str, key: str | None = None, target_mb: int = 128, spark=None) -> 
     # probe would find 0 bytes (single-partition rewrite of the whole
     # table) and the swap would fail after the tmp write. Fail fast —
     # on Iceberg/object stores use rewrite_data_files (RUNBOOK).
-    if "://" in path:
-        raise ValueError(
-            f"jobs/compact.py operates on local filesystem paths only, got {path!r}; "
-            "for object-store tables use Iceberg rewrite_data_files (docs/RUNBOOK.md)"
-        )
+    from pdf_parser_spark.fsutil import ensure_local_path
+
+    ensure_local_path(
+        path, "jobs/compact.py", remedy="use Iceberg rewrite_data_files (docs/RUNBOOK.md)"
+    )
     spark = spark or get_spark(app_name="compact")
     t0 = time.perf_counter()
     p = Path(path)

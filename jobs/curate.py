@@ -73,11 +73,9 @@ def run(
     quarantine: bool = True,
     snapshots: bool = False,
 ) -> dict:
-    if "://" in outdir:
-        raise ValueError(
-            f"jobs/curate.py writes to local filesystem paths only, got {outdir!r}; "
-            "for object-store tables use an Iceberg catalog (docs/RUNBOOK.md)"
-        )
+    from pdf_parser_spark.fsutil import ensure_local_path
+
+    ensure_local_path(outdir, "jobs/curate.py")
     spark = spark or get_spark(app_name="curate")
     # every persisted frame is released even when a write fails
     # mid-job — a long-lived session must not accumulate cached

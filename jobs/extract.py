@@ -13,8 +13,12 @@ Pipeline (SURVEY §3 lifecycle → north_rule operational contract):
     → mapInPandas per-document extraction     (zero further shuffles)
     → append to <outdir>/extracted            (the checkpoint itself)
     → flat side tables toc/ chunks/ validation/ doc_metrics/ lineage/
-      derived from THIS batch only and APPENDED (incremental: a resume
-      run's side-table cost ∝ new docs, never corpus size)
+      derived from THIS batch only, appended under a batch=<id>
+      partition (incremental: a resume run's side-table cost ∝ new
+      docs, never corpus size), bracketed by pending→done markers so
+      a crash mid-side-writes is HEALED by the next run (the batch's
+      partitions are deleted and re-derived from the recorded batch
+      files — idempotent)
 
 Checkpoint/resume semantics: the extracted table IS the checkpoint —
 every completed write lands a consistent batch of whole documents, and
@@ -50,6 +54,103 @@ def _parquet_files(path: str) -> set[str]:
     return {str(f) for f in p.rglob("*.parquet") if f.is_file()}
 
 
+SIDE_TABLES = ("toc", "chunks", "validation", "doc_metrics", "lineage")
+
+
+def _write_side_tables(out: Path, new_batch, batch_id: str) -> int:
+    """Derive the five side tables from one extracted batch and append,
+    each partitioned by a literal batch column. The partition makes a
+    batch's side rows individually addressable (<side>/batch=<id>/), so
+    a crash mid-way is healed by deleting those directories and
+    re-appending — idempotent, no dedup pass over corpus-sized tables.
+    Returns the batch row count (observe(): the count attests the rows
+    the WRITE itself consumed, not a separate job)."""
+    from pyspark.sql import Observation
+
+    tag = F.lit(batch_id).alias("batch")
+    obs = Observation()
+    observed = new_batch.observe(obs, F.count(F.lit(1)).alias("rows"))
+    for name, fn in (
+        ("toc", ox.toc_table),
+        ("chunks", ox.chunks_table),
+        ("validation", ox.validation_table),
+        ("doc_metrics", ox.metrics_table),
+        ("lineage", ox.lineage_metrics),
+    ):
+        src = observed if name == "toc" else new_batch
+        fn(src).select("*", tag).write.mode("append").partitionBy("batch").parquet(
+            str(out / name)
+        )
+    return int(obs.get["rows"])
+
+
+def _heal_incomplete_batches(spark, out: Path, snapshots: bool) -> list[str]:
+    """Crash recovery for the extracted-append → side-table gap: a
+    batch whose marker is still `pending` (or, in snapshots mode, a
+    committed snapshot with no marker at all) died before its side
+    tables were fully appended. Delete that batch's side-table
+    partition dirs (idempotent) and re-derive from the recorded batch
+    files — never from the corpus. Returns healed batch ids."""
+    import shutil
+
+    from pdf_parser_spark.sinks import snapshots as sn
+
+    markers = out / "_markers"
+    todo: list[tuple[str, dict]] = []
+    if markers.exists():
+        for m in sorted(markers.glob("*.pending.json")):
+            todo.append((m.name.split(".")[0], json.loads(m.read_text())))
+    if snapshots:
+        # covers the residual window before the pending marker lands:
+        # the snapshot log is authoritative for committed batches
+        known = {bid for bid, _ in todo} | (
+            {m.name.split(".")[0] for m in markers.glob("*.done.json")}
+            if markers.exists()
+            else set()
+        )
+        try:
+            for s in sn.snapshots(str(out / "extracted")):
+                bid = s.get("summary", {}).get("batch_id")
+                if bid and bid not in known:
+                    todo.append((bid, {"snapshot_id": s["snapshot_id"]}))
+        except FileNotFoundError:
+            pass
+    healed = []
+    for batch_id, payload in todo:
+        for name in SIDE_TABLES:
+            shutil.rmtree(out / name / f"batch={batch_id}", ignore_errors=True)
+        if "snapshot_id" in payload:
+            batch = sn.read_incremental(
+                spark, str(out / "extracted"), payload["snapshot_id"]
+            )
+        else:
+            files = payload["files"]
+            batch = spark.read.parquet(*files) if files else None
+        if batch is not None:
+            _write_side_tables(out, batch, batch_id)
+        _finish_marker(out, batch_id, payload)
+        healed.append(batch_id)
+    return healed
+
+
+def _pending_marker(out: Path, batch_id: str, payload: dict) -> None:
+    markers = out / "_markers"
+    markers.mkdir(parents=True, exist_ok=True)
+    (markers / f"{batch_id}.pending.json").write_text(json.dumps(payload))
+
+
+def _finish_marker(out: Path, batch_id: str, payload: dict) -> None:
+    import os
+
+    markers = out / "_markers"
+    markers.mkdir(parents=True, exist_ok=True)
+    done = markers / f"{batch_id}.done.json"
+    pending = markers / f"{batch_id}.pending.json"
+    done.write_text(json.dumps(payload))
+    if pending.exists():
+        os.remove(pending)
+
+
 def run(
     input_path: str,
     outdir: str,
@@ -73,22 +174,25 @@ def run(
     Iceberg-checkpoint shape of the north rule."""
     if url_buckets and snapshots:
         raise ValueError("url_buckets and snapshots are separate layouts; pick one")
-    if "://" in outdir:
-        # side-table batch tracking + the snapshot manifest log use
-        # local-FS semantics (Path.rglob / os.link); same fail-fast
-        # contract as jobs/compact.py — on a cluster, outdir is an
-        # Iceberg table and the incremental scan replaces the file diff
-        raise ValueError(
-            f"jobs/extract.py writes to local filesystem paths only, got {outdir!r}; "
-            "for object-store tables use an Iceberg catalog (docs/RUNBOOK.md)"
-        )
+    from pdf_parser_spark.fsutil import ensure_local_path
+
+    # side-table batch tracking + the snapshot manifest log use
+    # local-FS semantics; on a cluster, outdir is an Iceberg table and
+    # the incremental scan replaces the file diff
+    ensure_local_path(outdir, "jobs/extract.py")
     spark = spark or get_spark(app_name="extract-job", cpus=cpus)
     out = Path(outdir)
     extracted_path = str(out / "extracted")
 
+    import uuid
+
     from pyspark.errors import AnalysisException
 
     from pdf_parser_spark.sinks import snapshots as sn
+
+    # heal any batch whose previous run died between the extracted
+    # append and the side-table appends (see _heal_incomplete_batches)
+    healed = _heal_incomplete_batches(spark, out, snapshots)
 
     docs = read_documents(spark, input_path)
     n_input = docs.count()
@@ -121,14 +225,16 @@ def run(
 
     todo = ox.salted_repartition(docs, partitions)
     extracted = ox.extract_documents(todo)
+    batch_id = uuid.uuid4().hex
     t0 = time.perf_counter()
     snap = None
     if snapshots:
         snap = sn.commit(
             spark, extracted, extracted_path,
-            summary={"job": "extract", "resume": resume},
+            summary={"job": "extract", "resume": resume, "batch_id": batch_id},
         )
         new_batch = sn.read_incremental(spark, extracted_path, snap["snapshot_id"])
+        marker_payload = {"snapshot_id": snap["snapshot_id"]}
     else:
         # plain-append stand-in for the Iceberg incremental scan:
         # file-set diff around the write identifies the new batch
@@ -142,6 +248,7 @@ def run(
             extracted.write.mode("append").parquet(extracted_path)
         new_files = sorted(_parquet_files(extracted_path) - before)
         new_batch = spark.read.parquet(*new_files) if new_files else None
+        marker_payload = {"files": new_files}
     wall = time.perf_counter() - t0
 
     # side tables derive from THIS batch only and APPEND — they are
@@ -149,32 +256,32 @@ def run(
     # run that adds 0.1% new docs touches 0.1% of the data instead of
     # overwrite-rewriting corpus-sized tables (the r3 scale-killer).
     # Reading the just-written batch back from disk keeps every stage
-    # restartable without re-running the extract UDF.
+    # restartable without re-running the extract UDF; the pending→done
+    # marker brackets the side writes so a crash between them is
+    # healed (re-derived, not lost) by the next run.
     n_new = 0
     status_counts: dict[str, int] = {}
     t_side0 = time.perf_counter()
     if new_batch is not None:
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        observed = new_batch.observe(obs, F.count(F.lit(1)).alias("rows"))
-        ox.toc_table(observed).write.mode("append").parquet(str(out / "toc"))
-        ox.chunks_table(new_batch).write.mode("append").parquet(str(out / "chunks"))
-        ox.validation_table(new_batch).write.mode("append").parquet(str(out / "validation"))
-        ox.metrics_table(new_batch).write.mode("append").parquet(str(out / "doc_metrics"))
-        ox.lineage_metrics(new_batch).write.mode("append").parquet(str(out / "lineage"))
+        _pending_marker(out, batch_id, marker_payload)
+        n_new = _write_side_tables(out, new_batch, batch_id)
         status_counts = {
             r["status"]: r["n"]
             for r in new_batch.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
-        n_new = int(obs.get["rows"])
+        _finish_marker(out, batch_id, marker_payload)
     side_sec = time.perf_counter() - t_side0
 
-    # totals compose from the checkpoint + this batch — no full-table
-    # re-count (snapshots mode reads the manifest's running total,
-    # which also covers pre-existing batches a non-resume append
-    # chained onto)
-    n_total = snap["total_rows"] if snap is not None else n_already + n_new
+    # totals: snapshots mode reads the manifest's running total (also
+    # covers pre-existing batches a non-resume append chained onto);
+    # plain mode counts the table — a parquet footer-only count, and
+    # the only correct answer when rows pre-date this run's anti-join
+    # knowledge (e.g. repeated non-resume appends)
+    n_total = (
+        snap["total_rows"]
+        if snap is not None
+        else (spark.read.parquet(extracted_path).count() if _parquet_files(extracted_path) else 0)
+    )
     summary = {
         "input_docs": n_input,
         "already_extracted": n_already,
@@ -185,7 +292,10 @@ def run(
         "docs_per_sec": round(n_new / wall, 2) if wall > 0 else None,
         "status_counts": status_counts,
         "side_table_rows_processed": n_new,
+        "batch_id": batch_id,
     }
+    if healed:
+        summary["healed_batches"] = healed
     if snap is not None:
         summary["snapshot_id"] = snap["snapshot_id"]
     return summary

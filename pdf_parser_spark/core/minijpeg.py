@@ -103,9 +103,23 @@ class _BitReader:
         return v
 
     def sync_restart(self) -> None:
-        """Consume an expected RSTn marker and byte-align."""
+        """Consume an expected RSTn marker and byte-align. The marker
+        may not have been scanned yet (the bit buffer can satisfy all
+        reads up to the boundary without _fill ever reaching it), so
+        look at the head of the unread stream too — dropping only the
+        buffered pad bits, never real data (by construction _fill
+        stops AT any marker, so the buffer holds pre-marker bytes
+        only)."""
         self.bits = 0
         self.nbits = 0
+        if self.marker is None:
+            d = self.data
+            if (
+                self.pos + 1 < len(d)
+                and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7
+            ):
+                self.marker = d[self.pos + 1]
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
             self.pos += 2  # we stopped AT the 0xFF
             self.marker = None
@@ -221,6 +235,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             if frame is None:
                 raise ValueError("minijpeg: SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # a partial scan means a non-interleaved multi-scan
+                # file; decoding only the first scan would return
+                # silently corrupt pixels (zero chroma, MCU-grouped Y)
+                raise ValueError(
+                    f"minijpeg: non-interleaved multi-scan baseline unsupported "
+                    f"(scan has {ns} of {len(frame[2])} components)"
+                )
             scan = []  # (comp_index, dc_tab, ac_tab)
             for s in range(ns):
                 cs, tabs = seg[1 + 2 * s], seg[2 + 2 * s]
@@ -373,10 +395,17 @@ class _BitWriter:
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.nacc:
             pad = 8 - self.nacc
             self.put(pad, (1 << pad) - 1)  # 1-bit padding per spec
+
+    def raw(self, b: bytes) -> None:
+        """Emit marker bytes verbatim (caller must align() first)."""
+        self.out += b
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -464,7 +493,12 @@ def _tables(quant: int) -> bytes:
     return dqt + dht
 
 
-def encode_jpeg_gray(width: int, height: int, pixels: bytes, quant: int = 4) -> bytes:
+def encode_jpeg_gray(
+    width: int, height: int, pixels: bytes, quant: int = 4, restart_interval: int = 0
+) -> bytes:
+    """restart_interval=N emits a DRI segment and an RSTn marker (with
+    DC-predictor reset + byte alignment) every N MCUs — the shape
+    camera/libjpeg output commonly has."""
     if len(pixels) != width * height:
         raise ValueError("minijpeg: pixels != width*height")
     if not 1 <= quant <= 255:
@@ -473,14 +507,23 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes, quant: int = 4) -> 
     ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMS)
     bw = _BitWriter()
     pred = 0
+    mcu = 0
+    rst = 0
     for by in range((height + 7) // 8):
         for bx in range((width + 7) // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.align()
+                bw.raw(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                pred = 0
+            mcu += 1
             pred = _encode_block(
                 pixels, width, height, bx * 8, by * 8, quant, pred, bw, dc_codes, ac_codes
             )
     sof = _seg(0xC0, bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]))
     sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + _tables(quant) + sof + sos + bw.flush() + b"\xff\xd9"
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return b"\xff\xd8" + _tables(quant) + dri + sof + sos + bw.flush() + b"\xff\xd9"
 
 
 def encode_jpeg_rgb(

@@ -57,15 +57,11 @@ class CommitConflictError(RuntimeError):
 
 def _check_local(table: str) -> None:
     # the manifest log uses Path / os.link / os.replace — local FS
-    # semantics. An object-store URI would mis-resolve to a relative
-    # local dir and "commit" quietly into the wrong place. Same fail-
-    # fast contract as jobs/compact.py; on a cluster the layer swaps
-    # for a real Iceberg catalog (docs/RUNBOOK.md).
-    if "://" in table:
-        raise ValueError(
-            f"sinks/snapshots.py operates on local filesystem paths only, got {table!r}; "
-            "for object-store tables use a real Iceberg catalog (docs/RUNBOOK.md)"
-        )
+    # semantics; on a cluster the layer swaps for a real Iceberg
+    # catalog (docs/RUNBOOK.md)
+    from ..fsutil import ensure_local_path
+
+    ensure_local_path(table, "sinks/snapshots.py")
 
 
 def _snap_dir(table: str) -> Path:
@@ -225,24 +221,39 @@ def rollback(table: str, snapshot_id: int) -> dict:
     return snap
 
 
-def remove_orphans(table: str) -> dict:
+def remove_orphans(table: str, min_age_sec: float = 86400.0) -> dict:
     """Iceberg's remove_orphan_files: delete data directories no
     manifest references — crash-before-commit leftovers and losing
     concurrent writers' batches (their CommitConflictError aborts
-    AFTER the data write). Safe by construction: a batch becomes
-    visible only via a committed manifest, so an unreferenced
-    directory can never be read. Returns {removed_batches}."""
+    AFTER the data write). Unreferenced directories are invisible to
+    every READER, but a directory younger than `min_age_sec` may
+    belong to a commit in flight (batch written, manifest not yet
+    published) — deleting it would corrupt the manifest published a
+    moment later, which is exactly why real Iceberg defaults
+    older_than to 3 days. Keep the cutoff comfortably above the
+    longest batch-write-to-publish gap. Returns {removed_batches,
+    skipped_young}."""
     import shutil
+    import time as _time
 
     live = {b for s in snapshots(table) for b in s["batches"]}
     data = Path(table) / "data"
     removed = 0
+    skipped = 0
+    cutoff = _time.time() - min_age_sec
     if data.exists():
         for d in data.iterdir():
-            if d.is_dir() and f"data/{d.name}" not in live:
-                shutil.rmtree(d, ignore_errors=True)
-                removed += 1
-    return {"removed_batches": removed}
+            if not d.is_dir() or f"data/{d.name}" in live:
+                continue
+            try:
+                if d.stat().st_mtime > cutoff:
+                    skipped += 1
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+    return {"removed_batches": removed, "skipped_young": skipped}
 
 
 def expire_snapshots(table: str, keep_last: int = 2) -> dict:

@@ -347,3 +347,63 @@ def test_curate_rejects_remote_outdir(spark):
 
     with pytest.raises(ValueError, match="local filesystem"):
         run_curate("/tmp/in.parquet", "s3://bucket/out", spark=spark)
+
+
+def test_side_table_crash_heal(spark, tmp_path):
+    """r4 review finding: a crash between the extracted append and the
+    side-table appends must not lose the batch's side rows forever.
+    Simulate the crash by deleting two side-table batch partitions and
+    demoting the marker to pending; the next run heals them."""
+    import json as _json
+
+    corpus = str(tmp_path / "heal.parquet")
+    out = Path(tmp_path / "heal_out")
+    write_documents(synthetic_documents(spark, 16, seed=42), corpus)
+
+    first = run_job(corpus, str(out), resume=False, spark=spark)
+    bid = first["batch_id"]
+    # simulate dying mid-side-writes: some batch partitions landed,
+    # some didn't, marker still pending
+    import shutil
+
+    shutil.rmtree(out / "chunks" / f"batch={bid}")
+    shutil.rmtree(out / "lineage" / f"batch={bid}")
+    done = out / "_markers" / f"{bid}.done.json"
+    (out / "_markers" / f"{bid}.pending.json").write_text(done.read_text())
+    done.unlink()
+
+    second = run_job(corpus, str(out), resume=True, spark=spark)
+    assert second["healed_batches"] == [bid]
+    assert second["newly_extracted"] == 0
+    # every side table holds the batch exactly once (heal deleted the
+    # survivors' partitions before re-appending — no duplicates)
+    for name in ("toc", "chunks", "validation", "doc_metrics", "lineage"):
+        df = spark.read.parquet(str(out / name))
+        assert df.where(df.batch == bid).count() > 0, name
+    val = spark.read.parquet(str(out / "validation"))
+    assert val.count() == 16
+    assert val.select("url").distinct().count() == 16
+    lineage = spark.read.parquet(str(out / "lineage"))
+    assert lineage.agg({"docs": "sum"}).collect()[0][0] == 16
+
+
+def test_side_table_heal_snapshot_mode_without_marker(spark, tmp_path):
+    """Snapshot mode closes the residual window: a committed snapshot
+    with NO marker at all (died before the pending marker) is healed
+    from the snapshot log."""
+    corpus = str(tmp_path / "healsn.parquet")
+    out = Path(tmp_path / "healsn_out")
+    write_documents(synthetic_documents(spark, 12, seed=42), corpus)
+    first = run_job(corpus, str(out), resume=False, spark=spark, snapshots=True)
+    bid = first["batch_id"]
+    # simulate: crash right after sn.commit — no side rows, no marker
+    import shutil
+
+    for name in ("toc", "chunks", "validation", "doc_metrics", "lineage"):
+        shutil.rmtree(out / name)
+    shutil.rmtree(out / "_markers")
+
+    second = run_job(corpus, str(out), resume=True, spark=spark, snapshots=True)
+    assert second["healed_batches"] == [bid]
+    val = spark.read.parquet(str(out / "validation"))
+    assert val.count() == 12 and val.select("url").distinct().count() == 12

@@ -438,3 +438,37 @@ def test_minijpeg_420_blockwise_image():
     for y in (2, 8, 13):
         assert abs(out[y * w + 4] - luma(*left)) <= 4
         assert abs(out[y * w + 27] - luma(*right)) <= 4
+
+
+def test_minijpeg_restart_markers_fuzz():
+    """DRI/RSTn handling (r4 review finding: ~half of restart JPEGs
+    failed when the RST was still unscanned at the boundary): sweep
+    widths x intervals so boundaries land at every buffer phase."""
+    import random
+
+    rng = random.Random(5)
+    for w in (8, 16, 24, 40, 56):
+        for interval in (1, 2, 3, 5):
+            h = 16
+            px = bytes(rng.randrange(256) for _ in range(w * h))
+            data = minijpeg.encode_jpeg_gray(w, h, px, quant=1, restart_interval=interval)
+            assert b"\xff\xdd" in data  # DRI present
+            dw, dh, out = minijpeg.decode_jpeg(data)
+            assert (dw, dh) == (w, h)
+            err = max(abs(a - b) for a, b in zip(px, out))
+            assert err <= 2, f"w={w} interval={interval}: err {err}"
+
+
+def test_minijpeg_multiscan_raises_not_corrupts():
+    """A non-interleaved multi-scan baseline file must raise, never
+    return silently-corrupt pixels (zero chroma, scrambled Y)."""
+    import pytest
+
+    data = bytearray(minijpeg.encode_jpeg_rgb(16, 16, bytes([90, 120, 200]) * 256, quant=2))
+    # rewrite the interleaved SOS (3 components) into a Y-only scan
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    y_only_sos = bytes([0xFF, 0xDA, 0x00, 0x08, 1, 1, 0x00, 0, 63, 0])
+    data = bytes(data[:i]) + y_only_sos + bytes(data[i + 12 :])
+    with pytest.raises(ValueError, match="multi-scan"):
+        minijpeg.decode_jpeg(data)

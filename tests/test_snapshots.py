@@ -173,9 +173,12 @@ def test_remove_orphans_deletes_only_unreferenced(spark, tmp_path):
     # crash-before-commit leftover + a losing writer's batch
     docs.limit(2).write.parquet(str(Path(table) / "data" / "deadbeef"))
     docs.limit(1).write.parquet(str(Path(table) / "data" / "loser01"))
-    assert sn.remove_orphans(table) == {"removed_batches": 2}
+    # default grace period protects an in-flight commit's fresh batch
+    assert sn.remove_orphans(table) == {"removed_batches": 0, "skipped_young": 2}
+    got = sn.remove_orphans(table, min_age_sec=0)
+    assert got == {"removed_batches": 2, "skipped_young": 0}
     assert sn.read(spark, table).count() == 5  # committed data untouched
-    assert sn.remove_orphans(table) == {"removed_batches": 0}  # idempotent
+    assert sn.remove_orphans(table, min_age_sec=0)["removed_batches"] == 0
     # guard applies here too
     with pytest.raises(ValueError, match="local filesystem"):
         sn.remove_orphans("s3://bucket/t")
