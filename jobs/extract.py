@@ -67,6 +67,18 @@ def _write_side_tables(out: Path, new_batch, batch_id: str) -> int:
     the WRITE itself consumed, not a separate job)."""
     from pyspark.sql import Observation
 
+    for name in SIDE_TABLES:
+        d = out / name
+        if d.exists() and any(d.glob("*.parquet")):
+            # root-level part files = the pre-round-4 unpartitioned
+            # layout; mixing it with batch=<id> dirs makes the table
+            # unreadable ('conflicting directory structures')
+            raise ValueError(
+                f"side table {d} has the legacy unpartitioned layout; "
+                "use a fresh outdir (or move the old files under a "
+                "batch=legacy/ subdirectory) before resuming"
+            )
+
     tag = F.lit(batch_id).alias("batch")
     obs = Observation()
     observed = new_batch.observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -84,53 +96,85 @@ def _write_side_tables(out: Path, new_batch, batch_id: str) -> int:
     return int(obs.get["rows"])
 
 
-def _heal_incomplete_batches(spark, out: Path, snapshots: bool) -> list[str]:
+def _heal_incomplete_batches(
+    spark, out: Path, snapshots: bool, min_age_sec: float
+) -> tuple[list[str], list[dict]]:
     """Crash recovery for the extracted-append → side-table gap: a
     batch whose marker is still `pending` (or, in snapshots mode, a
     committed snapshot with no marker at all) died before its side
     tables were fully appended. Delete that batch's side-table
     partition dirs (idempotent) and re-derive from the recorded batch
-    files — never from the corpus. Returns healed batch ids."""
+    files — never from the corpus.
+
+    `min_age_sec` is the liveness grace (the remove_orphans hazard in
+    reverse): a pending marker / manifest younger than it may belong
+    to a job still running on this outdir, and healing it would race
+    that job's own side writes. A heal entry that FAILS (its recorded
+    files were compacted away, its snapshot expired) is skipped and
+    reported, never allowed to brick every future run.
+
+    Returns (healed_batch_ids, failures)."""
     import shutil
+    import time as _time
 
     from pdf_parser_spark.sinks import snapshots as sn
 
+    cutoff = _time.time() - min_age_sec
     markers = out / "_markers"
     todo: list[tuple[str, dict]] = []
     if markers.exists():
         for m in sorted(markers.glob("*.pending.json")):
+            if m.stat().st_mtime > cutoff:
+                continue  # possibly a live concurrent run
             todo.append((m.name.split(".")[0], json.loads(m.read_text())))
     if snapshots:
         # covers the residual window before the pending marker lands:
         # the snapshot log is authoritative for committed batches
         known = {bid for bid, _ in todo} | (
-            {m.name.split(".")[0] for m in markers.glob("*.done.json")}
+            {m.name.split(".")[0] for m in markers.glob("*.json")}
             if markers.exists()
             else set()
         )
-        try:
-            for s in sn.snapshots(str(out / "extracted")):
-                bid = s.get("summary", {}).get("batch_id")
-                if bid and bid not in known:
-                    todo.append((bid, {"snapshot_id": s["snapshot_id"]}))
-        except FileNotFoundError:
-            pass
-    healed = []
+        snap_dir = Path(out / "extracted") / "_snapshots"
+        for s in sn.snapshots(str(out / "extracted")):
+            bid = s.get("summary", {}).get("batch_id")
+            if not bid or bid in known:
+                continue
+            man = snap_dir / f"v{s['snapshot_id']}.json"
+            try:
+                if man.stat().st_mtime > cutoff:
+                    continue  # commit from a possibly-live run
+            except OSError:
+                continue
+            todo.append((bid, {"snapshot_id": s["snapshot_id"]}))
+    healed: list[str] = []
+    failures: list[dict] = []
     for batch_id, payload in todo:
-        for name in SIDE_TABLES:
-            shutil.rmtree(out / name / f"batch={batch_id}", ignore_errors=True)
-        if "snapshot_id" in payload:
-            batch = sn.read_incremental(
-                spark, str(out / "extracted"), payload["snapshot_id"]
-            )
-        else:
-            files = payload["files"]
-            batch = spark.read.parquet(*files) if files else None
-        if batch is not None:
-            _write_side_tables(out, batch, batch_id)
-        _finish_marker(out, batch_id, payload)
-        healed.append(batch_id)
-    return healed
+        try:
+            for name in SIDE_TABLES:
+                shutil.rmtree(out / name / f"batch={batch_id}", ignore_errors=True)
+            if "snapshot_id" in payload:
+                batch = sn.read_incremental(
+                    spark, str(out / "extracted"), payload["snapshot_id"]
+                )
+            elif "files" in payload:
+                files = payload["files"]
+                batch = spark.read.parquet(*files) if files else None
+            else:
+                # pre-write marker (crash before/during the extracted
+                # append): the batch is whatever the table has beyond
+                # the recorded pre-write file set — no other writer
+                # ran, so the diff IS the dead run's batch
+                before = set(payload["before_files"])
+                files = sorted(_parquet_files(str(out / "extracted")) - before)
+                batch = spark.read.parquet(*files) if files else None
+            if batch is not None:
+                _write_side_tables(out, batch, batch_id)
+            _finish_marker(out, batch_id, payload)
+            healed.append(batch_id)
+        except Exception as e:  # isolate: one stale marker must not
+            failures.append({"batch_id": batch_id, "error": str(e)[:300]})
+    return healed, failures
 
 
 def _pending_marker(out: Path, batch_id: str, payload: dict) -> None:
@@ -160,6 +204,7 @@ def run(
     spark=None,
     url_buckets: int | None = None,
     snapshots: bool = False,
+    heal_min_age_sec: float = 3600.0,
 ) -> dict:
     """`url_buckets=N` writes the extracted table partitioned by
     `url_bucket = pmod(xxhash64(url), N)` — the parquet stand-in for
@@ -192,7 +237,9 @@ def run(
 
     # heal any batch whose previous run died between the extracted
     # append and the side-table appends (see _heal_incomplete_batches)
-    healed = _heal_incomplete_batches(spark, out, snapshots)
+    healed, heal_failures = _heal_incomplete_batches(
+        spark, out, snapshots, heal_min_age_sec
+    )
 
     docs = read_documents(spark, input_path)
     n_input = docs.count()
@@ -237,8 +284,13 @@ def run(
         marker_payload = {"snapshot_id": snap["snapshot_id"]}
     else:
         # plain-append stand-in for the Iceberg incremental scan:
-        # file-set diff around the write identifies the new batch
+        # file-set diff around the write identifies the new batch. The
+        # PRE-write marker closes the crash window between the append
+        # finishing and the post-write marker landing: heal re-diffs
+        # against the recorded pre-write file set (no commit log to
+        # consult in this mode)
         before = _parquet_files(extracted_path)
+        _pending_marker(out, batch_id, {"before_files": sorted(before)})
         if url_buckets:
             bucketed = extracted.withColumn(
                 "url_bucket", F.pmod(F.xxhash64("url"), F.lit(url_buckets))
@@ -262,26 +314,32 @@ def run(
     n_new = 0
     status_counts: dict[str, int] = {}
     t_side0 = time.perf_counter()
+    # refresh the marker to the precise batch payload (plain mode
+    # upgrades the pre-write {before_files} form; snapshot mode
+    # creates it), so a crash inside the side writes heals from the
+    # exact file list / snapshot id
+    _pending_marker(out, batch_id, marker_payload)
     if new_batch is not None:
-        _pending_marker(out, batch_id, marker_payload)
         n_new = _write_side_tables(out, new_batch, batch_id)
         status_counts = {
             r["status"]: r["n"]
             for r in new_batch.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
-        _finish_marker(out, batch_id, marker_payload)
+    _finish_marker(out, batch_id, marker_payload)
     side_sec = time.perf_counter() - t_side0
 
     # totals: snapshots mode reads the manifest's running total (also
-    # covers pre-existing batches a non-resume append chained onto);
-    # plain mode counts the table — a parquet footer-only count, and
-    # the only correct answer when rows pre-date this run's anti-join
-    # knowledge (e.g. repeated non-resume appends)
-    n_total = (
-        snap["total_rows"]
-        if snap is not None
-        else (spark.read.parquet(extracted_path).count() if _parquet_files(extracted_path) else 0)
-    )
+    # covers pre-existing batches a non-resume append chained onto).
+    # Plain mode: after a resume the anti-join already established
+    # n_already, so n_already + n_new composes without touching the
+    # table; only a NON-resume run over a pre-existing table (where
+    # rows pre-date this run's knowledge) needs the footer-only count
+    if snap is not None:
+        n_total = snap["total_rows"]
+    elif resume or not before:
+        n_total = n_already + n_new
+    else:
+        n_total = spark.read.parquet(extracted_path).count()
     summary = {
         "input_docs": n_input,
         "already_extracted": n_already,
@@ -296,6 +354,11 @@ def run(
     }
     if healed:
         summary["healed_batches"] = healed
+    if heal_failures:
+        # surfaced, not fatal: a stale marker (files compacted away,
+        # snapshot expired) needs operator attention but must not
+        # brick every future run
+        summary["heal_failures"] = heal_failures
     if snap is not None:
         summary["snapshot_id"] = snap["snapshot_id"]
     return summary
@@ -310,10 +373,16 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--url-buckets", type=int, default=None)
     ap.add_argument("--snapshots", action="store_true")
+    ap.add_argument(
+        "--heal-min-age", type=float, default=3600.0,
+        help="seconds a pending marker/manifest must be stale before the "
+        "heal pass claims it (guards against racing a live run)",
+    )
     args = ap.parse_args()
     summary = run(
         args.input, args.outdir, args.resume, args.partitions, args.cpus,
         url_buckets=args.url_buckets, snapshots=args.snapshots,
+        heal_min_age_sec=args.heal_min_age,
     )
     print(json.dumps(summary))
 

@@ -503,6 +503,8 @@ def encode_jpeg_gray(
         raise ValueError("minijpeg: pixels != width*height")
     if not 1 <= quant <= 255:
         raise ValueError("minijpeg: quant must be 1..255")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("minijpeg: restart_interval must be 0..65535 (DRI is a ushort)")
     dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMS)
     ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMS)
     bw = _BitWriter()

@@ -372,7 +372,7 @@ def test_side_table_crash_heal(spark, tmp_path):
     (out / "_markers" / f"{bid}.pending.json").write_text(done.read_text())
     done.unlink()
 
-    second = run_job(corpus, str(out), resume=True, spark=spark)
+    second = run_job(corpus, str(out), resume=True, spark=spark, heal_min_age_sec=0)
     assert second["healed_batches"] == [bid]
     assert second["newly_extracted"] == 0
     # every side table holds the batch exactly once (heal deleted the
@@ -403,7 +403,73 @@ def test_side_table_heal_snapshot_mode_without_marker(spark, tmp_path):
         shutil.rmtree(out / name)
     shutil.rmtree(out / "_markers")
 
-    second = run_job(corpus, str(out), resume=True, spark=spark, snapshots=True)
+    second = run_job(
+        corpus, str(out), resume=True, spark=spark, snapshots=True, heal_min_age_sec=0
+    )
     assert second["healed_batches"] == [bid]
     val = spark.read.parquet(str(out / "validation"))
     assert val.count() == 12 and val.select("url").distinct().count() == 12
+
+
+def test_heal_grace_period_skips_fresh_markers(spark, tmp_path):
+    """A fresh pending marker may belong to a LIVE concurrent run on
+    the same outdir — the default grace period must not heal it (the
+    remove_orphans hazard in reverse)."""
+    corpus = str(tmp_path / "grace.parquet")
+    out = Path(tmp_path / "grace_out")
+    write_documents(synthetic_documents(spark, 10, seed=42), corpus)
+    first = run_job(corpus, str(out), resume=False, spark=spark)
+    bid = first["batch_id"]
+    done = out / "_markers" / f"{bid}.done.json"
+    (out / "_markers" / f"{bid}.pending.json").write_text(done.read_text())
+    done.unlink()
+    # default heal_min_age_sec (1h): fresh marker untouched
+    second = run_job(corpus, str(out), resume=True, spark=spark)
+    assert "healed_batches" not in second
+    assert (out / "_markers" / f"{bid}.pending.json").exists()
+
+
+def test_heal_failure_is_isolated_not_fatal(spark, tmp_path):
+    """A stale marker whose recorded files are gone (e.g. compacted
+    away) is surfaced in the summary, not allowed to brick the job."""
+    import json as _json
+
+    corpus = str(tmp_path / "stale.parquet")
+    out = Path(tmp_path / "stale_out")
+    write_documents(synthetic_documents(spark, 10, seed=42), corpus)
+    first = run_job(corpus, str(out), resume=False, spark=spark)
+    (out / "_markers" / "deadbatch.pending.json").write_text(
+        _json.dumps({"files": [str(out / "extracted" / "gone.parquet")]})
+    )
+    second = run_job(corpus, str(out), resume=True, spark=spark, heal_min_age_sec=0)
+    assert second["newly_extracted"] == 0  # the job itself still ran
+    assert second["heal_failures"][0]["batch_id"] == "deadbatch"
+    # marker left for the operator
+    assert (out / "_markers" / "deadbatch.pending.json").exists()
+
+
+def test_heal_prewrite_marker_after_append_crash(spark, tmp_path):
+    """Plain mode's pre-write marker closes the crash window AFTER the
+    extracted append but BEFORE the batch file list is recorded: heal
+    re-diffs against the recorded pre-write file set."""
+    import json as _json
+
+    corpus = str(tmp_path / "prew.parquet")
+    out = Path(tmp_path / "prew_out")
+    write_documents(synthetic_documents(spark, 10, seed=42), corpus)
+    first = run_job(corpus, str(out), resume=False, spark=spark)
+    bid = first["batch_id"]
+    # rewrite history: as if the run died right after the append —
+    # marker still in pre-write form, no side tables at all
+    import shutil
+
+    for name in ("toc", "chunks", "validation", "doc_metrics", "lineage"):
+        shutil.rmtree(out / name)
+    (out / "_markers" / f"{bid}.done.json").unlink()
+    (out / "_markers" / f"{bid}.pending.json").write_text(
+        _json.dumps({"before_files": []})
+    )
+    second = run_job(corpus, str(out), resume=True, spark=spark, heal_min_age_sec=0)
+    assert second["healed_batches"] == [bid]
+    val = spark.read.parquet(str(out / "validation"))
+    assert val.count() == 10 and val.select("url").distinct().count() == 10
