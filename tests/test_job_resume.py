@@ -473,3 +473,37 @@ def test_heal_prewrite_marker_after_append_crash(spark, tmp_path):
     assert second["healed_batches"] == [bid]
     val = spark.read.parquet(str(out / "validation"))
     assert val.count() == 10 and val.select("url").distinct().count() == 10
+
+
+def test_curate_crash_between_quarantine_and_curated_converges(spark, tmp_path):
+    """curate's two appends (quarantine, then curated) are crash-safe
+    by construction: resume skips urls present in EITHER table, so a
+    run that died after the quarantine write re-adjudicates only the
+    unwritten survivors — and they survive again (their dedup losers
+    are already quarantined and stay out of the funnel). Pin that
+    convergence."""
+    import shutil
+
+    from jobs.curate import run as run_curate
+
+    corpus = str(tmp_path / "ccr.parquet")
+    out = Path(tmp_path / "ccr_out")
+    write_documents(synthetic_documents(spark, 24, seed=42), corpus)
+    first = run_curate(corpus, str(out), spark=spark, resume=False)
+    n_q = spark.read.parquet(str(out / "quarantine")).count()
+    assert n_q > 0
+
+    # simulate the crash: quarantine landed, curated write did not
+    shutil.rmtree(out / "curated")
+    second = run_curate(corpus, str(out), spark=spark, resume=True)
+    # only the lost survivors re-entered the funnel
+    assert second["new_docs"] == first["newly_curated"]
+    assert second["newly_curated"] == first["newly_curated"]
+    assert second["total_curated"] == first["total_curated"]
+
+    cur = spark.read.parquet(str(out / "curated")).select("url")
+    q = spark.read.parquet(str(out / "quarantine"))
+    assert q.count() == n_q  # no duplicate quarantine rows
+    assert cur.count() == first["total_curated"]
+    assert cur.intersect(q.select("url")).count() == 0
+    assert cur.union(q.select("url")).distinct().count() == 24
