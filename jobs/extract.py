@@ -205,6 +205,7 @@ def run(
     url_buckets: int | None = None,
     snapshots: bool = False,
     heal_min_age_sec: float = 3600.0,
+    input_format: str = "parquet",
 ) -> dict:
     """`url_buckets=N` writes the extracted table partitioned by
     `url_bucket = pmod(xxhash64(url), N)` — the parquet stand-in for
@@ -241,7 +242,17 @@ def run(
         spark, out, snapshots, heal_min_age_sec
     )
 
-    docs = read_documents(spark, input_path)
+    if input_format == "warc":
+        # Common Crawl's native container: archives → documents rows
+        # (html binary; text recovered by the DOM stripper inside the
+        # extraction pass below)
+        from pdf_parser_spark.sources.warc import warc_to_documents
+
+        docs = warc_to_documents(spark, input_path)
+    elif input_format == "parquet":
+        docs = read_documents(spark, input_path)
+    else:
+        raise ValueError(f"unknown input_format {input_format!r} (parquet|warc)")
     n_input = docs.count()
 
     n_already = 0
@@ -271,7 +282,11 @@ def run(
             docs = docs.join(done, on="url", how="left_anti")
 
     todo = ox.salted_repartition(docs, partitions)
-    extracted = ox.extract_documents(todo)
+    extracted = (
+        ox.extract_documents_from_html(todo)
+        if input_format == "warc"
+        else ox.extract_documents(todo)
+    )
     batch_id = uuid.uuid4().hex
     t0 = time.perf_counter()
     snap = None
@@ -374,6 +389,11 @@ def main() -> None:
     ap.add_argument("--url-buckets", type=int, default=None)
     ap.add_argument("--snapshots", action="store_true")
     ap.add_argument(
+        "--input-format", choices=("parquet", "warc"), default="parquet",
+        help="warc: read Common Crawl-style .warc/.warc.gz archives "
+        "(html recovered via the DOM stripper)",
+    )
+    ap.add_argument(
         "--heal-min-age", type=float, default=3600.0,
         help="seconds a pending marker/manifest must be stale before the "
         "heal pass claims it (guards against racing a live run)",
@@ -382,7 +402,7 @@ def main() -> None:
     summary = run(
         args.input, args.outdir, args.resume, args.partitions, args.cpus,
         url_buckets=args.url_buckets, snapshots=args.snapshots,
-        heal_min_age_sec=args.heal_min_age,
+        heal_min_age_sec=args.heal_min_age, input_format=args.input_format,
     )
     print(json.dumps(summary))
 

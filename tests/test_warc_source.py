@@ -1,0 +1,123 @@
+"""WARC source: round-trip with real bytes (plain + per-record gzip
+members), malformed-record accounting, and composition with the DOM
+stripper + extraction pipeline (the full Common-Crawl-shaped path)."""
+
+from __future__ import annotations
+
+import gzip
+import sys
+from datetime import datetime
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pdf_parser_spark.sources import warc as W
+
+
+def _records(n: int) -> list[dict]:
+    return [
+        {
+            "url": f"https://host{i % 3}.example/page/{i}",
+            "warc_ts": datetime(2024, 3, 1, 12, i % 60),
+            "html": f"<html><body><p>Doc {i} body text.</p></body></html>".encode(),
+        }
+        for i in range(n)
+    ]
+
+
+def test_warc_roundtrip_both_layouts(spark, tmp_path):
+    recs = _records(7)
+    for gz, name in ((True, "cc.warc.gz"), (False, "plain.warc")):
+        p = str(tmp_path / name)
+        W.write_warc(p, recs, gzip_members=gz)
+        df = W.read_warc(spark, p)
+        rows = {r["url"]: r for r in df.collect()}
+        assert len(rows) == 7
+        for r in recs:
+            got = rows[r["url"]]
+            assert got["status"] == "ok" and got["warc_type"] == "response"
+            assert bytes(got["html"]) == r["html"]  # HTTP envelope stripped
+            assert got["warc_ts"] == r["warc_ts"]
+
+
+def test_warc_to_documents_schema_and_filtering(spark, tmp_path):
+    recs = _records(5)
+    # non-response records (warcinfo/request) must be filtered out
+    recs.append({"url": "meta:info", "warc_ts": datetime(2024, 1, 1), "html": b"", "warc_type": "warcinfo"})
+    p = str(tmp_path / "mix.warc.gz")
+    W.write_warc(p, recs)
+    docs = W.warc_to_documents(spark, p)
+    assert [f.name for f in docs.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    assert docs.count() == 5
+    assert docs.where("warc_ts IS NULL").count() == 0
+
+
+def test_warc_malformed_records_become_status_rows(spark, tmp_path):
+    p = str(tmp_path / "bad.warc.gz")
+    good = _records(2)
+    W.write_warc(p, good)
+    # append a corrupt gzip member: decode must not crash the task
+    with open(p, "ab") as f:
+        f.write(gzip.compress(b"WARC/1.0\r\nContent-Length: notanum\r\n\r\n"))
+        f.write(b"\x1f\x8b\x08\x00garbage-not-gzip-tail")
+    df = W.read_warc(spark, p)
+    rows = df.collect()
+    oks = [r for r in rows if r["status"] == "ok"]
+    errs = [r for r in rows if r["status"].startswith("error")]
+    assert len(oks) == 2 and len(errs) >= 1
+
+
+def test_warc_feeds_extraction_pipeline(spark, tmp_path):
+    """The full CC-shaped path: WARC → documents → DOM strip →
+    per-document extraction, with the salted repartition in between —
+    the jobs/extract.py dataflow from the true source format."""
+    from pdf_parser_spark.operators import extract as ox
+    from pdf_parser_spark.operators.html_extract import html_main_text
+    from pdf_parser_spark.sources.corpus import synthetic_documents
+
+    # synth docs carry REAL html bodies; re-pack them as WARC records
+    src = synthetic_documents(spark, 8, seed=42).collect()
+    recs = [
+        {"url": r["url"], "warc_ts": r["warc_ts"], "html": bytes(r["html"] or b"")}
+        for r in src
+    ]
+    p = str(tmp_path / "corpus.warc.gz")
+    W.write_warc(p, recs)
+
+    docs = W.warc_to_documents(spark, p)
+    stripped = html_main_text(docs).select(
+        "url", (F := __import__("pyspark.sql.functions", fromlist=["col"])).col("extracted_text").alias("text")
+    )
+    extracted = ox.extract_documents(ox.salted_repartition(stripped, 4))
+    by_status = {r["status"]: r["n"] for r in extracted.groupBy("status").agg(
+        F.count("*").alias("n")).collect()}
+    assert sum(by_status.values()) == 8
+    assert by_status.get("ok", 0) >= 1
+
+
+def test_extract_job_from_warc_with_resume(spark, tmp_path):
+    """jobs/extract.py --input-format warc: the whole operational
+    contract (salted repartition, DOM strip, per-doc extraction, side
+    tables, anti-join resume) straight from Common Crawl's container."""
+    from jobs.extract import run as run_job
+    from pdf_parser_spark.sources.corpus import synthetic_documents
+
+    src = synthetic_documents(spark, 10, seed=42).collect()
+    recs = [
+        {"url": r["url"], "warc_ts": r["warc_ts"], "html": bytes(r["html"] or b"")}
+        for r in src
+    ]
+    p = str(tmp_path / "job.warc.gz")
+    W.write_warc(p, recs)
+    out = str(tmp_path / "warc_out")
+
+    first = run_job(p, out, resume=False, spark=spark, input_format="warc")
+    assert first["input_docs"] == 10
+    assert first["newly_extracted"] == 10
+    assert sum(first["status_counts"].values()) == 10
+
+    second = run_job(p, out, resume=True, spark=spark, input_format="warc")
+    assert second["already_extracted"] == 10
+    assert second["newly_extracted"] == 0
+    ex = spark.read.parquet(str(Path(out) / "extracted"))
+    assert ex.select("url").distinct().count() == ex.count() == 10
