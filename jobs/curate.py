@@ -72,6 +72,7 @@ def run(
     near_dup_threshold: float = 0.8,
     quarantine: bool = True,
     snapshots: bool = False,
+    input_format: str = "parquet",
 ) -> dict:
     from pdf_parser_spark.fsutil import ensure_local_path
 
@@ -84,7 +85,7 @@ def run(
     try:
         return _run(
             input_path, outdir, spark, resume, near_dups,
-            near_dup_threshold, quarantine, caches, snapshots,
+            near_dup_threshold, quarantine, caches, snapshots, input_format,
         )
     finally:
         for c in caches:
@@ -104,6 +105,7 @@ def _run(
     quarantine: bool,
     caches: list,
     snapshots: bool = False,
+    input_format: str = "parquet",
 ) -> dict:
     t0 = time.perf_counter()
     out = Path(outdir)
@@ -117,7 +119,28 @@ def _run(
         stage_secs[name] = round(now - t_start, 2)
         return now
 
-    docs = read_documents(spark, input_path)
+    if input_format == "warc":
+        # Common Crawl archives: recover text via the DOM stripper so
+        # the quality/PII/dedup funnel operates on main content — one
+        # extra mapInPandas pass, still zero shuffles before the funnel
+        from pyspark.sql import functions as _F
+
+        from pdf_parser_spark.operators.html_extract import html_main_text
+        from pdf_parser_spark.sources.warc import warc_to_documents
+
+        raw = warc_to_documents(spark, input_path)
+        stripped = html_main_text(raw).select(
+            "url", _F.col("extracted_text").alias("text")
+        )
+        # one url-keyed join re-attaches the metadata the stripper's
+        # narrow (url, text) contract drops — the funnel's only
+        # pre-funnel shuffle in warc mode
+        docs = raw.drop("text").join(stripped, on="url")
+        docs = docs.select("url", "warc_ts", "html", "text", "lang")
+    elif input_format == "parquet":
+        docs = read_documents(spark, input_path)
+    else:
+        raise ValueError(f"unknown input_format {input_format!r} (parquet|warc)")
     n_input = docs.count()
     t = _mark("scan_count", t0)
 
@@ -273,6 +296,7 @@ def main() -> None:
     ap.add_argument("--no-near-dups", dest="near_dups", action="store_false")
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
     ap.add_argument("--snapshots", action="store_true")
+    ap.add_argument("--input-format", choices=("parquet", "warc"), default="parquet")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
     spark = get_spark(app_name="curate", cpus=args.cpus)
@@ -286,6 +310,7 @@ def main() -> None:
                 near_dups=args.near_dups,
                 near_dup_threshold=args.near_dup_threshold,
                 snapshots=args.snapshots,
+                input_format=args.input_format,
             )
         )
     )

@@ -121,3 +121,51 @@ def test_extract_job_from_warc_with_resume(spark, tmp_path):
     assert second["newly_extracted"] == 0
     ex = spark.read.parquet(str(Path(out) / "extracted"))
     assert ex.select("url").distinct().count() == ex.count() == 10
+
+
+def test_warc_parser_never_raises_fuzz():
+    """iter_warc_file is the per-task record splitter: ANY byte
+    garbage must become typed rows, never a task failure (the
+    accounting contract of the whole extraction tier)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=400))
+    def check(data):
+        rows = list(W.iter_warc_file(data))
+        for r in rows:
+            assert set(r) == {"url", "warc_ts", "warc_type", "status", "html"}
+
+    check()
+
+    # adversarial prefixes: gzip magic + garbage, WARC magic + garbage
+    for data in (b"\x1f\x8b\x08\x00junk", b"WARC/1.0\r\nbroken", b"\x1f\x8b", b""):
+        for r in W.iter_warc_file(data):
+            assert "status" in r
+
+
+def test_curate_job_from_warc(spark, tmp_path):
+    """jobs/curate.py --input-format warc: the hygiene funnel straight
+    from archives — DOM strip recovers the text the filters judge."""
+    from jobs.curate import run as run_curate
+    from pdf_parser_spark.sources.corpus import synthetic_documents
+
+    src = synthetic_documents(spark, 12, seed=42).collect()
+    recs = [
+        {"url": r["url"], "warc_ts": r["warc_ts"], "html": bytes(r["html"] or b"")}
+        for r in src
+    ]
+    p = str(tmp_path / "cur.warc.gz")
+    W.write_warc(p, recs)
+    out = str(tmp_path / "warc_cur")
+
+    m = run_curate(p, out, spark=spark, resume=False, input_format="warc")
+    assert m["input_docs"] == 12
+    assert (
+        m["dropped_gopher"] + m["dropped_dup_lines"] + m["dropped_exact_dup"]
+        + m["dropped_near_dup"] + m["newly_curated"]
+    ) == m["new_docs"] == 12
+    curated = spark.read.parquet(str(Path(out) / "curated"))
+    assert set(curated.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert curated.count() == m["total_curated"] > 0
