@@ -210,6 +210,33 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
 # ------------------------------------------------------------------ writer
 
 
+def _record_bytes(
+    url: str | None,
+    warc_ts: datetime | None,
+    html: bytes | None,
+    warc_type: str = "response",
+    gzip_members: bool = True,
+) -> bytes:
+    body = html or b""
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+    )
+    date = (warc_ts or datetime(2024, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {url or ''}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        "\r\n"
+    ).encode()
+    rec = head + http + b"\r\n\r\n"
+    return gzip.compress(rec) if gzip_members else rec
+
+
 def write_warc(
     path: str,
     records: list[dict],
@@ -221,27 +248,69 @@ def write_warc(
     when gzip_members (the Common Crawl layout)."""
     out = io.BytesIO()
     for r in records:
-        body = r.get("html", b"") or b""
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            + f"Content-Length: {len(body)}\r\n\r\n".encode()
-            + body
+        out.write(
+            _record_bytes(
+                r.get("url"), r.get("warc_ts"), r.get("html"),
+                r.get("warc_type", "response"), gzip_members,
+            )
         )
-        ts = r.get("warc_ts")
-        date = (ts or datetime(2024, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
-        head = (
-            "WARC/1.0\r\n"
-            f"WARC-Type: {r.get('warc_type', 'response')}\r\n"
-            f"WARC-Target-URI: {r.get('url', '')}\r\n"
-            f"WARC-Date: {date}\r\n"
-            f"Content-Length: {len(http)}\r\n"
-            "Content-Type: application/http; msgtype=response\r\n"
-            "\r\n"
-        ).encode()
-        rec = head + http + b"\r\n\r\n"
-        if gzip_members:
-            out.write(gzip.compress(rec))
-        else:
-            out.write(rec)
     with open(path, "wb") as f:
         f.write(out.getvalue())
+
+
+def write_warc_table(df: DataFrame, out_dir: str, gzip_members: bool = True) -> DataFrame:
+    """Distributed WARC export: each partition streams its rows into
+    its own `part-<pid>.warc(.gz)` archive — the write parallelism IS
+    the partitioning, no shuffle, no driver collect. Returns a small
+    (path, records) DataFrame; trigger it (e.g. .collect()) to run the
+    export and get the manifest. Local-FS directory (the sandbox
+    stand-in; at scale each task streams to the object store)."""
+    import os
+
+    import pandas as pd
+
+    from ..fsutil import ensure_local_path
+
+    ensure_local_path(out_dir, "sources/warc.write_warc_table")
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.gz" if gzip_members else "warc"
+
+    manifest_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("records", T.LongType()),
+        ]
+    )
+
+    def dump(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        path = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        n = 0
+        f = None
+        try:
+            for batch in batches:
+                if f is None:
+                    f = open(path, "wb")
+                for url, ts, html in zip(batch["url"], batch["warc_ts"], batch["html"]):
+                    py_ts = ts.to_pydatetime() if ts is not None and not pd.isna(ts) else None
+                    f.write(
+                        _record_bytes(
+                            url, py_ts,
+                            bytes(html) if html is not None else b"",
+                            gzip_members=gzip_members,
+                        )
+                    )
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
+        # empty partitions write no file and emit no manifest row
+        yield (
+            pd.DataFrame([{"path": path, "records": n}])
+            if n
+            else pd.DataFrame([], columns=["path", "records"])
+        )
+
+    return df.select("url", "warc_ts", "html").mapInPandas(dump, schema=manifest_schema)

@@ -169,3 +169,30 @@ def test_curate_job_from_warc(spark, tmp_path):
     curated = spark.read.parquet(str(Path(out) / "curated"))
     assert set(curated.columns) == {"url", "warc_ts", "html", "text", "lang"}
     assert curated.count() == m["total_curated"] > 0
+
+
+def test_write_warc_table_distributed_roundtrip(spark, tmp_path):
+    """Distributed export: one archive per partition, manifest rows
+    returned, read_warc over the directory recovers every record."""
+    from pdf_parser_spark.sources.corpus import synthetic_documents
+
+    import pytest
+
+    docs = synthetic_documents(spark, 15, seed=42).repartition(4)
+    out = str(tmp_path / "warc_export")
+    manifest = W.write_warc_table(docs, out).collect()
+    assert sum(r["records"] for r in manifest) == 15
+    assert 1 <= len(manifest) <= 4
+    for r in manifest:
+        assert Path(r["path"]).exists() and r["path"].endswith(".warc.gz")
+
+    back = W.read_warc(spark, out + "/*.warc.gz")
+    assert back.where("status = 'ok'").count() == 15
+    assert back.select("url").distinct().count() == 15
+    # byte-level: html payloads survive the round trip
+    orig = {r["url"]: bytes(r["html"] or b"") for r in docs.collect()}
+    for r in back.collect():
+        assert bytes(r["html"] or b"") == orig[r["url"]]
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        W.write_warc_table(docs, "s3://bucket/warc")

@@ -174,6 +174,19 @@ def main() -> None:
 
     leg("html_strip", lambda: _force(html_main_text(ox.salted_repartition(ex_docs, args.cpus * 2))))
 
+    # --- WARC ingest (Common Crawl's native container, r4) -----------
+    def warc_ingest():
+        from pdf_parser_spark.sources import warc as W
+
+        warc_dir = f"/tmp/bigscale_warc_{args.extract_docs}"
+        if not Path(warc_dir).exists():
+            W.write_warc_table(ex_docs.repartition(args.cpus), warc_dir).collect()
+        docs_from_warc = W.warc_to_documents(spark, warc_dir + "/*.warc.gz")
+        stripped = html_main_text(docs_from_warc)
+        return _force(stripped)
+
+    leg("warc_ingest_strip", warc_ingest)
+
     # --- dedup tier, production hashes, full 10x corpus --------------
     leg(
         "minhash_near_dups_xxhash",
