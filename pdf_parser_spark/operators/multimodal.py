@@ -131,13 +131,32 @@ def _decode_audio(data: bytes) -> tuple[int, int, bytes]:
 
 
 def _decode_video_header(data: bytes) -> tuple[int, int, int]:
-    """→ (width, height, n_frames). STUB: FVID container only."""
+    """→ (width, height, n_frames). FVID fake container decodes
+    natively; real MJPEG AVI bytes decode via the vendored miniavi +
+    minijpeg pair (r4 — the video seam now has a real in-container
+    body); other codecs (H.264 etc.) still need ffmpeg and raise."""
     if data[:4] == b"FVID":
         return struct.unpack(">III", data[4:16])
-    raise NotImplementedError("real video demuxers (ffmpeg) not available in this container")
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..core.miniavi import parse_avi
+
+        w, h, frames = parse_avi(data)
+        return w, h, len(frames)
+    raise NotImplementedError(
+        "real non-MJPEG-AVI video bytes but ffmpeg not available in this container"
+    )
 
 
 def _video_frame(data: bytes, width: int, height: int, frame_no: int) -> bytes:
+    """Grayscale pixels of one frame (FVID: raw slice; AVI: vendored
+    MJPEG decode — the decoded JPEG's own dimensions win over a lying
+    avih header)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..core.miniavi import decode_frame, parse_avi
+
+        _, _, frames = parse_avi(data)
+        _, _, px = decode_frame(frames, frame_no)
+        return px
     off = 16 + frame_no * width * height
     return data[off : off + width * height]
 

@@ -472,3 +472,66 @@ def test_minijpeg_multiscan_raises_not_corrupts():
     data = bytes(data[:i]) + y_only_sos + bytes(data[i + 12 :])
     with pytest.raises(ValueError, match="multi-scan"):
         minijpeg.decode_jpeg(data)
+
+
+# ------------------------------------------------------------------ AVI (MJPEG)
+
+from pdf_parser_spark.core import miniavi  # noqa: E402
+
+
+def _gradient_frames(w, h, n):
+    return [
+        bytes(((x * 9 + y * 5 + 17 * f) % 251 for y in range(h) for x in range(w)))
+        for f in range(n)
+    ]
+
+
+def test_miniavi_roundtrip_real_mjpeg():
+    w, h, n = 16, 8, 3
+    frames = _gradient_frames(w, h, n)
+    data = miniavi.encode_mjpeg_avi(w, h, frames, fps=10, quant=1)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    pw, ph, jpegs = miniavi.parse_avi(data)
+    assert (pw, ph, len(jpegs)) == (w, h, n)
+    for f_no in range(n):
+        dw, dh, px = miniavi.decode_frame(jpegs, f_no)
+        assert (dw, dh) == (w, h)
+        err = max(abs(a - b) for a, b in zip(frames[f_no], px))
+        assert err <= 2, f"frame {f_no}: err {err}"
+
+
+def test_miniavi_rejects_non_avi_and_empty():
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        miniavi.parse_avi(b"not an avi")
+    # valid RIFF with no dc frames
+    empty = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+    with pytest.raises(ValueError, match="frames"):
+        miniavi.parse_avi(empty)
+
+
+def test_miniavi_through_video_operators(spark):
+    """The video seam end-to-end on REAL bytes: media_metadata reads
+    dimensions/frame-count from the AVI header, sample_frames decodes
+    every Nth JPEG frame to grayscale via minijpeg."""
+    from pdf_parser_spark.operators import multimodal as mm
+    from pdf_parser_spark.operators.multimodal import media_metadata, sample_frames
+
+    w, h, n = 16, 8, 6
+    frames = _gradient_frames(w, h, n)
+    avi = miniavi.encode_mjpeg_avi(w, h, frames, quant=1)
+    df = spark.createDataFrame(
+        [("v1", "video", avi, "video/x-msvideo")], schema=mm.MEDIA_SCHEMA
+    )
+
+    meta = media_metadata(df).collect()[0]
+    assert meta["status"] == "ok"
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, n)
+
+    got = {r["frame_no"]: r for r in sample_frames(df, every_n=2).collect()}
+    assert sorted(got) == [0, 2, 4]
+    for f_no, r in got.items():
+        assert (r["width"], r["height"]) == (w, h)
+        err = max(abs(a - b) for a, b in zip(frames[f_no], bytes(r["frame"])))
+        assert err <= 2
