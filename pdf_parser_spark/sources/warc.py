@@ -157,8 +157,14 @@ def iter_warc_file(data: bytes) -> Iterator[dict]:
                     "status": "ok" if not rec.get("error") else f"error: {rec['error']}",
                     "html": None,
                 }
-                if wtype == "response" and row["status"] == "ok":
-                    row["html"] = _http_body(rec["payload"])
+                if row["status"] == "ok":
+                    if wtype == "response":
+                        row["html"] = _http_body(rec["payload"])
+                    elif wtype == "conversion":
+                        # WET record: payload IS the extracted text
+                        # (no HTTP envelope); surfaced on the same
+                        # binary column, decoded by wet_to_documents
+                        row["html"] = rec["payload"]
                 yield row
     except (OSError, zlib.error, EOFError) as e:
         yield {
@@ -218,22 +224,29 @@ def _record_bytes(
     gzip_members: bool = True,
 ) -> bytes:
     body = html or b""
-    http = (
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-        + f"Content-Length: {len(body)}\r\n\r\n".encode()
-        + body
-    )
+    if warc_type == "conversion":
+        # WET layout: the payload IS the extracted text, no HTTP
+        # envelope (matches Common Crawl's *.warc.wet.gz records)
+        payload = body
+        ctype = "text/plain"
+    else:
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        ctype = "application/http; msgtype=response"
     date = (warc_ts or datetime(2024, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
     head = (
         "WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
         f"WARC-Target-URI: {url or ''}\r\n"
         f"WARC-Date: {date}\r\n"
-        f"Content-Length: {len(http)}\r\n"
-        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"Content-Type: {ctype}\r\n"
         "\r\n"
     ).encode()
-    rec = head + http + b"\r\n\r\n"
+    rec = head + payload + b"\r\n\r\n"
     return gzip.compress(rec) if gzip_members else rec
 
 
@@ -314,3 +327,82 @@ def write_warc_table(df: DataFrame, out_dir: str, gzip_members: bool = True) -> 
         )
 
     return df.select("url", "warc_ts", "html").mapInPandas(dump, schema=manifest_schema)
+
+
+# ------------------------------------------------------------------ WET
+
+
+def wet_to_documents(spark: SparkSession, path: str) -> DataFrame:
+    """WET archives (conversion records = extracted text) → the
+    documents schema with `text` filled and `html` NULL — the inverse
+    of warc_to_documents for corpora already boilerplate-stripped
+    upstream (Common Crawl *.warc.wet.gz)."""
+    recs = read_warc(spark, path)
+    return recs.where(
+        (F.col("warc_type") == "conversion")
+        & (F.col("status") == "ok")
+        & F.col("url").isNotNull()
+    ).select(
+        "url",
+        "warc_ts",
+        F.lit(None).cast("binary").alias("html"),
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def write_wet_table(df: DataFrame, out_dir: str, gzip_members: bool = True) -> DataFrame:
+    """Distributed WET export: (url, warc_ts, text) rows → per-
+    partition `part-<pid>.warc.wet(.gz)` archives of conversion
+    records — the format downstream consumers of Common Crawl text
+    already read. Same execution shape as write_warc_table (no
+    shuffle, manifest DataFrame returned; trigger to run)."""
+    import os
+
+    import pandas as pd
+
+    from ..fsutil import ensure_local_path
+
+    ensure_local_path(out_dir, "sources/warc.write_wet_table")
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.wet.gz" if gzip_members else "warc.wet"
+
+    manifest_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("records", T.LongType()),
+        ]
+    )
+
+    def dump(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        path = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        n = 0
+        f = None
+        try:
+            for batch in batches:
+                if f is None:
+                    f = open(path, "wb")
+                for url, ts, text in zip(batch["url"], batch["warc_ts"], batch["text"]):
+                    py_ts = ts.to_pydatetime() if ts is not None and not pd.isna(ts) else None
+                    f.write(
+                        _record_bytes(
+                            url, py_ts,
+                            (text or "").encode("utf-8"),
+                            warc_type="conversion",
+                            gzip_members=gzip_members,
+                        )
+                    )
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
+        yield (
+            pd.DataFrame([{"path": path, "records": n}])
+            if n
+            else pd.DataFrame([], columns=["path", "records"])
+        )
+
+    return df.select("url", "warc_ts", "text").mapInPandas(dump, schema=manifest_schema)

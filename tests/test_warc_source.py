@@ -196,3 +196,33 @@ def test_write_warc_table_distributed_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="local filesystem"):
         W.write_warc_table(docs, "s3://bucket/warc")
+
+
+def test_wet_export_and_readback(spark, tmp_path):
+    """WET round trip: curated text exported as conversion records
+    (no HTTP envelope — the Common Crawl *.warc.wet.gz layout), read
+    back into the documents schema with text filled, html NULL."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.sources.corpus import synthetic_documents
+
+    docs = (
+        synthetic_documents(spark, 9, seed=42)
+        .where(F.col("text").isNotNull())
+        .repartition(3)
+    )
+    n = docs.count()
+    out = str(tmp_path / "wet_export")
+    manifest = W.write_wet_table(docs, out).collect()
+    assert sum(r["records"] for r in manifest) == n
+    for r in manifest:
+        assert r["path"].endswith(".warc.wet.gz")
+
+    back = W.wet_to_documents(spark, out + "/*.warc.wet.gz")
+    assert [f.name for f in back.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    got = {r["url"]: r for r in back.collect()}
+    assert len(got) == n
+    for r in docs.collect():
+        assert got[r["url"]]["text"] == (r["text"] or "")
+        assert got[r["url"]]["html"] is None
+        assert got[r["url"]]["warc_ts"] == r["warc_ts"]
