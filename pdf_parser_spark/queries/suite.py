@@ -2662,6 +2662,135 @@ def q71(spark, sf):
     )
 
 
+@register(
+    "q72_corpus_line_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN ' ' ELSE '' END)
+               || 'boiler ' || (doc_id % 7) || chr(10)
+               || 'unique line ' || doc_id || chr(10)
+               || (CASE WHEN doc_id % 2 = 0 THEN 'footer common'
+                        ELSE 'solo tail ' || doc_id END) AS text
+      FROM documents
+    ),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+    e AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(ls)),
+               i -> struct_pack(pos := i, line := ls[i])
+             )) AS pl
+      FROM l
+    ),
+    x AS (SELECT doc_id, pl.pos AS pos, pl.line AS line,
+                 trim(pl.line) AS nline FROM e),
+    f AS (
+      SELECT nline FROM x WHERE length(nline) >= 1
+      GROUP BY nline HAVING count(DISTINCT doc_id) > 1
+    ),
+    y AS (
+      SELECT x.doc_id, x.pos, x.line,
+             (length(x.nline) >= 1 AND f.nline IS NOT NULL) AS dropped
+      FROM x LEFT JOIN f ON x.nline = f.nline
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                               chr(10) ORDER BY pos), '') AS text_dedup,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_removed,
+           ROUND(CASE WHEN SUM(length(line)) = 0 THEN 0.0
+                      ELSE SUM(CASE WHEN dropped THEN length(line) ELSE 0 END)
+                           / CAST(SUM(length(line)) AS DOUBLE) END, 6) + 0.0
+             AS removed_char_frac
+    FROM y GROUP BY doc_id
+    """,
+)
+def q72(spark, sf):
+    """Corpus-wide duplicate-line removal (C4/RefinedWeb global line
+    dedup): lines occurring in >1 distinct document are boilerplate and
+    vanish from every document, survivors keep their order. The fixture
+    plants a shared 'boiler k' line (1-in-7 collision classes, some
+    space-padded to exercise trimmed identity), a per-doc unique line,
+    and an even-docs-only common footer; the oracle replays the full
+    operator (explode -> corpus freq -> anti-flag -> ordered reassembly)
+    independently in DuckDB."""
+    from ..operators import corpus_dedup as cd
+
+    doc = F.col("doc_id")
+    d = _t(spark, sf, "documents")
+    text = F.concat(
+        F.when(doc % 3 == 0, F.lit(" ")).otherwise(F.lit("")),
+        F.lit("boiler "), (doc % 7).cast("string"),
+        F.lit("\nunique line "), doc.cast("string"), F.lit("\n"),
+        F.when(doc % 2 == 0, F.lit("footer common")).otherwise(
+            F.concat(F.lit("solo tail "), doc.cast("string"))
+        ),
+    )
+    out = cd.corpus_line_dedup(d.select("doc_id", text.alias("text")))
+    return out.select(
+        "doc_id",
+        "text_dedup",
+        "n_lines",
+        "n_lines_removed",
+        (F.round("removed_char_frac", 6) + F.lit(0.0)).alias("removed_char_frac"),
+    )
+
+
+@register(
+    "q73_decontaminate",
+    """
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(w) - 2),
+                 i -> array_to_string(w[i:i+2], ' ')
+               ))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM ws
+    ),
+    b AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    m AS (
+      SELECT e.doc_id, COUNT(b.gram) AS nm
+      FROM e LEFT JOIN b ON e.gram = b.gram
+      GROUP BY e.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(m.nm, 0) AS BIGINT) AS n_matched_grams,
+           COALESCE(m.nm, 0) >= 1 AS contaminated
+    FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+    """,
+)
+def q73(spark, sf):
+    """Benchmark decontamination (GPT-3 appendix-C / Dolma decon pass):
+    every corpus document is scored for distinct word-3-gram overlap
+    with a held-out benchmark slice (doc_id % 97 = 0 — which therefore
+    self-matches in full, the designed positive control). The benchmark
+    gram set is broadcast; the corpus scan never shuffles on gram text.
+    Oracle replays gram construction + overlap join in DuckDB."""
+    from ..operators import corpus_dedup as cd
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    out = cd.decontaminate(d, bench, n=3, min_matched_grams=1)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_matched_grams").cast("long").alias("n_matched_grams"),
+        "contaminated",
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

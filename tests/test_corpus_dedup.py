@@ -1,0 +1,106 @@
+"""Corpus-level hygiene: global line dedup + benchmark decontamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import corpus_dedup as cd
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # "subscribe now" appears in 3 docs -> corpus boilerplate
+        (1, "alpha beta\nsubscribe now\ngamma delta"),
+        (2, "subscribe now\nunique two line"),
+        (3, "totally unique\n\nsubscribe now"),
+        (4, "one of a kind"),
+        (5, None),
+        (6, ""),
+        # " subscribe now " trims to the dup line -> removed too,
+        # while the untrimmed original never matters for identity
+        (7, "  subscribe now  \nkept here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_line_dedup_removes_cross_doc_boilerplate(docs):
+    out = {r["doc_id"]: r for r in cd.corpus_line_dedup(docs).collect()}
+    assert out[1]["text_dedup"] == "alpha beta\ngamma delta"
+    assert out[1]["n_lines"] == 3 and out[1]["n_lines_removed"] == 1
+    assert out[2]["text_dedup"] == "unique two line"
+    # blank line survives (structure preserved, never counted)
+    assert out[3]["text_dedup"] == "totally unique\n"
+    assert out[4]["text_dedup"] == "one of a kind"
+    assert out[4]["n_lines_removed"] == 0
+    assert out[5]["text_dedup"] is None and out[5]["n_lines"] == 0
+    assert out[6]["text_dedup"] == "" and out[6]["n_lines"] == 1
+    # trimmed identity: padded variant removed, order of survivors kept
+    assert out[7]["text_dedup"] == "kept here"
+    assert 0.0 < out[1]["removed_char_frac"] < 1.0
+    assert len(out) == docs.count()
+
+
+def test_corpus_line_dedup_threshold(docs):
+    # max_doc_freq=3: "subscribe now" (3 docs... plus doc 7's padded
+    # variant -> 4 distinct docs) still removed; raise to 4 -> kept
+    out3 = {r["doc_id"]: r for r in cd.corpus_line_dedup(docs, max_doc_freq=3).collect()}
+    assert out3[1]["n_lines_removed"] == 1
+    out4 = {r["doc_id"]: r for r in cd.corpus_line_dedup(docs, max_doc_freq=4).collect()}
+    assert out4[1]["text_dedup"] == "alpha beta\nsubscribe now\ngamma delta"
+    assert all(r["n_lines_removed"] == 0 for r in out4.values())
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a a a",), ("short",), ("",)], "t string"
+    )
+    got = df.select(cd.word_ngrams(F.col("t"), 2).alias("g")).collect()
+    assert sorted(got[0]["g"]) == ["a b", "b c", "c d"]
+    assert got[1]["g"] == ["a a"]  # distinct collapses the repeat
+    assert got[2]["g"] == [] and got[3]["g"] == []
+
+
+def test_decontaminate_counts_and_flags(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "the quick brown" etc.
+            (2, "nothing in common here at all"),
+            (3, "xx"),                            # < n words -> 0 grams
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox ran away",)], "text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cd.decontaminate(corpus, bench, n=3, min_matched_grams=2).collect()
+    }
+    # doc 1 grams: 3 of them; matched: "the quick brown", "quick brown fox"
+    assert out[1]["n_grams"] == 3 and out[1]["n_matched_grams"] == 2
+    assert out[1]["contaminated"] is True
+    assert out[2]["n_matched_grams"] == 0 and out[2]["contaminated"] is False
+    assert out[3]["n_grams"] == 0 and out[3]["contaminated"] is False
+    assert out[4]["n_grams"] == 0 and out[4]["n_matched_grams"] == 0
+    assert len(out) == 4
+
+
+def test_corpus_line_dedup_plan_shape(spark, docs):
+    """Plan lock: the line-frequency agg partial-aggregates map-side and
+    the lines-to-dupset join is hash-based — no nested loop anywhere."""
+    plan = (
+        cd.corpus_line_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_count(distinct" in plan or "partial_count" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string")
+    bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    plan = cd.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
