@@ -1,0 +1,103 @@
+"""Deterministic data mixing: stratified down-/up-sampling by domain.
+
+The pretraining "mixture" step (C4/Pile/Dolma domain weights): each
+group (source domain, language, quality tier) gets a target rate —
+rate<1 downsamples, rate>1 upsamples by emitting floor(rate) copies
+plus one more for a hash-selected fraction of documents, rate=0 drops
+the group. Selection is a pure function of (key, seed):
+
+  - reproducible across runs, executors and engines (no RNG state,
+    no partition-order dependence — unlike df.sample);
+  - scan-shaped: zero shuffles, the rate lookup is a literal CASE
+    (or any caller-supplied expression), the copy fan-out is a
+    scan-local explode. At 10^12 rows the whole mix is one pass.
+
+Rates are quantized to parts-per-million ON THE DRIVER (exact Python
+ints), so the engine never does float math on the keep decision —
+`hash(key) % 1e6 < ppm` replays bit-identically in ANSI SQL (q74).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text_metrics import portable_hash64
+
+_PPM = 1_000_000
+
+
+def _rate_to_ppm(rate: float) -> int:
+    ppm = int(round(rate * _PPM))
+    if ppm < 0:
+        raise ValueError(f"negative sampling rate: {rate}")
+    return ppm
+
+
+def ppm_expr(rates: dict[str, float], group_col: str, default_rate: float = 1.0) -> Column:
+    """Literal CASE mapping group values to exact ppm rates. Fine for
+    up to a few thousand groups; past that, broadcast-join a rates
+    table keyed on the group instead (same plan shape otherwise)."""
+    expr = F.lit(_rate_to_ppm(default_rate))
+    for g, r in sorted(rates.items()):
+        expr = F.when(F.col(group_col) == g, F.lit(_rate_to_ppm(r))).otherwise(expr)
+    return expr
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float] | Column,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 1.0,
+    portable: bool = False,
+) -> DataFrame:
+    """Emit `n_copies` rows per surviving document (copy_idx 0..n-1),
+    where n_copies = floor(rate) + (1 if the doc's hash fraction falls
+    under the fractional remainder). `rates` is either a group→rate
+    dict (compiled to a literal CASE) or a ready ppm Column expression
+    (ints, 1e6 = keep-exactly-once).
+
+    portable=True uses the md5-derived hash so the decision replays in
+    DuckDB; the default xxhash64 path is the production hot path (same
+    uniformity, ~5× cheaper).
+    """
+    if isinstance(rates, dict):
+        ppm = ppm_expr(rates, group_col, default_rate)
+    else:
+        ppm = rates
+
+    key = F.col(key_col).cast("string")
+    if portable:
+        h = portable_hash64(key, seed) % _PPM
+    else:
+        h = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_PPM))
+
+    n_copies = (ppm / F.lit(_PPM)).cast("long") + F.when(
+        h < ppm % _PPM, F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+
+    return (
+        df.withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)))
+    )
+
+
+def mixture_report(
+    before: DataFrame,
+    after: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group mixing accounting: input docs, output rows, achieved
+    rate (exact int counts; one small agg per side)."""
+    b = before.groupBy(group_col).agg(F.count(F.lit(1)).alias("in_docs"))
+    a = after.groupBy(group_col).agg(F.count(F.lit(1)).alias("out_rows"))
+    return (
+        b.join(a, group_col, "left")
+        .withColumn("out_rows", F.coalesce("out_rows", F.lit(0)))
+        .withColumn(
+            "achieved_rate",
+            F.round(F.col("out_rows") / F.col("in_docs").cast("double"), 6) + F.lit(0.0),
+        )
+    )

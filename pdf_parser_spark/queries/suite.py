@@ -2791,6 +2791,53 @@ def q73(spark, sf):
     )
 
 
+@register(
+    "q74_stratified_mix",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             CASE (CAST(substr(source, 4, 10) AS INT) % 4)
+               WHEN 0 THEN 250000 WHEN 1 THEN 1000000
+               WHEN 2 THEN 1500000 ELSE 0 END AS ppm,
+             ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 15))::BIGINT
+               % 1000000 AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             (ppm // 1000000)
+               + (CASE WHEN h < (ppm % 1000000) THEN 1 ELSE 0 END) AS n_copies
+      FROM r
+    )
+    SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+    FROM c WHERE n_copies > 0
+    """,
+)
+def q74(spark, sf):
+    """Deterministic stratified data mixing (the pretraining domain-
+    weights step): source domains get rates 0.25 / 1.0 / 1.5 / 0.0 by
+    suffix class — downsample, passthrough, upsample-with-fractional-
+    copies, drop. Selection is hash(doc_id, seed) % 1e6 vs exact ppm
+    literals (no float math in the keep decision), so the md5-portable
+    twin replays bit-identically in DuckDB; the production path swaps
+    in xxhash64 with the identical plan (scan-shaped, zero shuffles —
+    plan-locked in tests)."""
+    from ..operators import mixing as mx
+
+    d = _t(spark, sf, "documents")
+    ppm = (
+        F.when(F.substring("source", 4, 10).cast("int") % 4 == 0, F.lit(250_000))
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 1, F.lit(1_000_000))
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 2, F.lit(1_500_000))
+        .otherwise(F.lit(0))
+    )
+    out = mx.stratified_sample(
+        d.select("doc_id", "source"), ppm, key_col="doc_id", seed=7, portable=True
+    )
+    return out.select("doc_id", "source", "n_copies", "copy_idx")
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================
