@@ -119,19 +119,91 @@ def corpus_line_dedup(
     return out
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Distinct word n-grams of a text column as array<string> —
-    whitespace-tokenized, space-joined. Hoists the word array into the
-    lambda-free part of the expression so transform() doesn't re-split
-    the document per gram (HOF lambdas re-evaluate their body per
-    element)."""
-    words = F.split(F.trim(col), r"\s+")
+def with_word_ngrams(
+    df: DataFrame, text_col: str, n: int, out_col: str, distinct: bool = True
+) -> DataFrame:
+    """Adds `out_col` = word n-grams of `text_col` (array<string>,
+    whitespace-tokenized, space-joined; distinct=False keeps every
+    occurrence).
+
+    DataFrame-level ON PURPOSE: the word array MUST be a projected
+    column referenced >=2 times (size + the slice inside the lambda) —
+    an inline `F.split(...)` expression inside the transform() lambda
+    re-splits the whole document once PER GRAM, O(words²) per doc
+    (the dedup.shingles / line_dup_stats bug class; a 17k-word
+    mega-doc turns a 60 s corpus pass into 25 minutes — measured).
+    CollapseProject keeps the hoist because the split is non-cheap and
+    multiply-referenced."""
+    base = df.withColumn("__ng_w", F.split(F.trim(F.col(text_col)), r"\s+"))
+    words = F.col("__ng_w")
     n_words = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_words - n + 1, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i, n), " "),
     )
-    return F.array_distinct(F.when(n_words >= n, grams).otherwise(F.array().cast("array<string>")))
+    if distinct:
+        grams = F.array_distinct(grams)
+    out = F.when(n_words >= n, grams).otherwise(F.array().cast("array<string>"))
+    return base.withColumn(out_col, out).drop("__ng_w")
+
+
+def ngram_repetition_stats(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher §A1.1 repetition signals, per document:
+
+      n_grams              total (non-distinct) word n-grams
+      top_gram             most frequent n-gram (ties: lexicographic max)
+      top_gram_count       its occurrence count
+      top_gram_char_frac   chars in its occurrences / chars in all grams
+      dup_gram_char_frac   chars in grams occurring >=2 times / all-gram chars
+
+    Documents with fewer than n words have zero grams, NULL top_gram
+    and 0.0 fractions. Unlike the scan-shaped gopher_quality_flags
+    this needs per-(doc, gram) counts, so it is explode-shaped: rows
+    proportional to tokens, two partial-agged shuffles ((key, gram)
+    then key) — the same scale envelope as MinHash shingling, with no
+    per-doc quadratic term for mega-documents (the array-only
+    formulation would be O(words²) per doc).
+    """
+    key = F.col(key_col)
+    grams = with_word_ngrams(df, text_col, n, "_grams", distinct=False).select(
+        key_col, F.explode("_grams").alias("gram")
+    )
+    per_gram = grams.groupBy(key_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    gram_chars = F.col("cnt") * F.length("gram")
+    per_doc = per_gram.groupBy(key_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.sum(gram_chars).alias("_all_chars"),
+        F.sum(F.when(F.col("cnt") >= 2, gram_chars).otherwise(F.lit(0))).alias("_dup_chars"),
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top"),
+    )
+    per_doc = per_doc.select(
+        key_col,
+        "n_grams",
+        F.col("_top")["gram"].alias("top_gram"),
+        F.col("_top")["cnt"].alias("top_gram_count"),
+        F.when(F.col("_all_chars") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("_top")["cnt"] * F.length(F.col("_top")["gram"])
+            / F.col("_all_chars").cast("double")
+        )
+        .alias("top_gram_char_frac"),
+        F.when(F.col("_all_chars") == 0, F.lit(0.0))
+        .otherwise(F.col("_dup_chars") / F.col("_all_chars").cast("double"))
+        .alias("dup_gram_char_frac"),
+    )
+    return (
+        df.select(key_col)
+        .join(per_doc, key_col, "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+        .withColumn("top_gram_count", F.coalesce("top_gram_count", F.lit(0)))
+        .withColumn("top_gram_char_frac", F.coalesce("top_gram_char_frac", F.lit(0.0)))
+        .withColumn("dup_gram_char_frac", F.coalesce("dup_gram_char_frac", F.lit(0.0)))
+    )
 
 
 def decontaminate(
@@ -156,20 +228,15 @@ def decontaminate(
     BROADCAST — the corpus side never shuffles on gram text; the only
     shuffle is the per-document count agg (partial map-side).
     """
-    key = F.col(key_col)
-
-    # hoist the gram array: referenced twice (size + explode) so
-    # CollapseProject keeps the projection
-    corpus_grams = corpus.select(
-        key_col, word_ngrams(F.col(text_col), n).alias("_grams")
-    ).select(
+    corpus_grams = with_word_ngrams(corpus, text_col, n, "_grams").select(
         key_col,
         F.size("_grams").alias("n_grams"),
         F.explode_outer("_grams").alias("gram"),
     )
 
     bench_grams = (
-        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        with_word_ngrams(benchmark, text_col, n, "_grams")
+        .select(F.explode("_grams").alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(True))
     )

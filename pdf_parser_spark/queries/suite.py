@@ -2838,6 +2838,76 @@ def q74(spark, sf):
     return out.select("doc_id", "source", "n_copies", "copy_idx")
 
 
+@register(
+    "q75_ngram_repetition",
+    """
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 2 THEN
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> array_to_string(w[i:i+1], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM ws
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+    pd AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             CAST(SUM(cnt * length(gram)) AS BIGINT) AS all_chars,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)
+                  AS BIGINT) AS dup_chars
+      FROM pg GROUP BY doc_id
+    ),
+    top AS (
+      SELECT doc_id, gram AS top_gram, cnt AS top_cnt FROM (
+        SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM pg
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_grams, 0) AS n_grams,
+           top.top_gram,
+           CAST(COALESCE(top.top_cnt, 0) AS BIGINT) AS top_gram_count,
+           ROUND(CASE WHEN COALESCE(pd.all_chars, 0) = 0 THEN 0.0
+                 ELSE top.top_cnt * length(top.top_gram)
+                      / CAST(pd.all_chars AS DOUBLE) END, 6) + 0.0
+             AS top_gram_char_frac,
+           ROUND(CASE WHEN COALESCE(pd.all_chars, 0) = 0 THEN 0.0
+                 ELSE pd.dup_chars / CAST(pd.all_chars AS DOUBLE) END, 6) + 0.0
+             AS dup_gram_char_frac
+    FROM documents d
+    LEFT JOIN pd ON d.doc_id = pd.doc_id
+    LEFT JOIN top ON d.doc_id = top.doc_id
+    """,
+)
+def q75(spark, sf):
+    """Gopher-style n-gram repetition signals (the §A1.1 rep filters
+    beyond q58's flags): per-doc total 2-grams, the most frequent
+    2-gram (count-then-lexicographic tiebreak), and the char-mass
+    fractions of the top gram and of all duplicated grams. Explode-
+    shaped — rows proportional to tokens, two partial-agged shuffles —
+    never per-doc quadratic on mega-documents. Oracle replays the
+    full group-count-argmax pipeline in DuckDB."""
+    from ..operators import corpus_dedup as cd
+
+    d = _t(spark, sf, "documents")
+    out = cd.ngram_repetition_stats(d, key_col="doc_id", text_col="text", n=2)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "top_gram",
+        F.col("top_gram_count").cast("long").alias("top_gram_count"),
+        (F.round("top_gram_char_frac", 6) + F.lit(0.0)).alias("top_gram_char_frac"),
+        (F.round("dup_gram_char_frac", 6) + F.lit(0.0)).alias("dup_gram_char_frac"),
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

@@ -54,10 +54,33 @@ def test_word_ngrams(spark):
     df = spark.createDataFrame(
         [("a b c d",), ("a a a",), ("short",), ("",)], "t string"
     )
-    got = df.select(cd.word_ngrams(F.col("t"), 2).alias("g")).collect()
+    got = cd.with_word_ngrams(df, "t", 2, "g").select("g").collect()
     assert sorted(got[0]["g"]) == ["a b", "b c", "c d"]
     assert got[1]["g"] == ["a a"]  # distinct collapses the repeat
     assert got[2]["g"] == [] and got[3]["g"] == []
+    # non-distinct keeps every occurrence, in order
+    raw = cd.with_word_ngrams(df, "t", 2, "g", distinct=False).select("g").collect()
+    assert raw[1]["g"] == ["a a", "a a"]
+
+
+def test_ngram_repetition_stats(spark):
+    rows = [
+        (1, "a b a b a"),  # 2-grams: {a b: 2, b a: 2} — tie -> lex max
+        (2, "x y z"),      # all distinct
+        (3, "w"),          # < n words
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cd.ngram_repetition_stats(df, n=2).collect()}
+    assert out[1]["n_grams"] == 4
+    assert out[1]["top_gram"] == "b a" and out[1]["top_gram_count"] == 2
+    assert out[1]["top_gram_char_frac"] == pytest.approx(0.5)
+    assert out[1]["dup_gram_char_frac"] == pytest.approx(1.0)
+    assert out[2]["n_grams"] == 2 and out[2]["top_gram"] == "y z"
+    assert out[2]["dup_gram_char_frac"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["top_gram"] is None
+    assert out[4]["n_grams"] == 0 and out[4]["top_gram_char_frac"] == 0.0
+    assert len(out) == 4
 
 
 def test_decontaminate_counts_and_flags(spark):

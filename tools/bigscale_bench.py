@@ -81,7 +81,11 @@ def main() -> None:
         t0 = time.perf_counter()
         out = fn()
         sec = round(time.perf_counter() - t0, 2)
-        results["legs"][name] = {"sec": sec, "rows": out if isinstance(out, int) else None}
+        # merge, don't replace: leg fns may stash extra stats under
+        # results["legs"][name] (e.g. lines_removed, contaminated_docs)
+        results["legs"].setdefault(name, {}).update(
+            {"sec": sec, "rows": out if isinstance(out, int) else None}
+        )
         print(f"{name:<28}{sec:>9.2f}s rows={out}", flush=True)
         return out
 
@@ -246,6 +250,49 @@ def main() -> None:
         return int(row["n"])
 
     leg("webtext_chain", webtext)
+
+    # --- corpus-level hygiene (r4: cross-document state) -------------
+    from pdf_parser_spark.operators import corpus_dedup as cd
+    from pdf_parser_spark.operators import mixing as mx
+
+    def line_dedup():
+        out = cd.corpus_line_dedup(docs, key_col="url").cache()
+        n = out.count()
+        removed = out.agg(F.sum("n_lines_removed")).first()[0]
+        results["legs"].setdefault("corpus_line_dedup", {})["lines_removed"] = int(
+            removed or 0
+        )
+        out.unpersist()
+        return n
+
+    leg("corpus_line_dedup", line_dedup)
+
+    def decontam():
+        corpus = docs.select("url", "text")
+        bench = corpus.where(F.crc32(F.col("url")) % 1000 == 0)  # ~0.1% eval slice
+        out = cd.decontaminate(corpus, bench, key_col="url", n=8).cache()
+        n = out.count()
+        hit = out.agg(F.sum(F.col("contaminated").cast("long"))).first()[0]
+        results["legs"].setdefault("decontaminate", {})["contaminated_docs"] = int(
+            hit or 0
+        )
+        out.unpersist()
+        return n
+
+    leg("decontaminate", decontam)
+
+    leg(
+        "stratified_mix",
+        lambda: _force(
+            mx.stratified_sample(
+                docs.select("url", "lang"),
+                rates={"en": 1.0, "es": 1.5, "zh": 0.25},
+                group_col="lang",
+                key_col="url",
+                default_rate=0.5,
+            )
+        ),
+    )
 
     # --- sample shaping ----------------------------------------------
     leg("token_chunks", lambda: _force(pk.token_chunks(docs, key_col="url")))
