@@ -17,6 +17,10 @@ DataFrame plans (no Python in the hot path):
                         blocking (2^bits buckets/band, OR-amplified) —
                         the 100TB-safe block key
   winnowed_fingerprints segmented winnowing (bounded window groups)
+  connected_components  alternating large-star/small-star closure over
+                        near-dup pairs (O(log n) rounds)
+  duplicate_clusters    per-doc (cluster_id, size, is_canonical)
+  dedup_keep_canonical  drop non-canonical members (one anti-join)
 
 Scale notes (10^12 docs):
   - every pairwise step is blocked (LSH bands / equality blocks /
@@ -617,3 +621,132 @@ def winnowed_fingerprints(
         "m",
     ).where(emit)
     return mins.select(key_col, "fp").distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list —
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14), the O(log n)-round
+    formulation that stays shuffle-bounded on a real cluster.
+
+    Input: (src, dst) pairs, any orderable key type (long doc_id,
+    string url). Output: one row per NON-ROOT node — (node, cluster)
+    where cluster is the component's minimum key. Roots (the minima)
+    and singletons don't appear; callers COALESCE to the node's own
+    key (see duplicate_clusters) or anti-join to drop non-canonical
+    members (dedup_keep_canonical).
+
+    Why not pairwise loser-dropping (drop every id_b): with pairs
+    (a,b), (c,b) it keeps BOTH a and c even though they share the
+    near-dup b — transitive clusters need real closure. And why not
+    plain min-label propagation: its round count is the component
+    DIAMETER, which boilerplate chains can stretch to thousands;
+    star-contraction halves path lengths every other round.
+
+    Each round is two fixed-shape stages (symmetrize → groupBy-min →
+    join), localCheckpoint-ed so the plan stays O(1) deep instead of
+    O(rounds); on a real cluster point sparkContext.setCheckpointDir
+    at durable storage and swap localCheckpoint for checkpoint.
+    Convergence = edge-set fixpoint, detected by a (count,
+    bit_xor(xxhash64)) checksum — one scalar collect per round,
+    overflow-free under ANSI mode.
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst)))
+        .distinct()
+    )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        o = ed.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            o.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _sig(ed: DataFrame):
+        row = ed.agg(
+            F.count(F.lit(1)).alias("c"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        return (row["c"], row["h"])
+
+    e = e.localCheckpoint(eager=True)
+    prev = _sig(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(pairs={prev[0]}) — raise max_iter or check the pair generator"
+        )
+    # converged state is a star forest (member -> component min); the
+    # groupBy-min is an idempotent safety net, not a semantic step
+    return e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("cluster"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-document duplicate-cluster assignment: (key, cluster_id,
+    cluster_size, is_canonical). Singletons are their own cluster of
+    size 1; the canonical member is the component's minimum key (the
+    RefinedWeb / SlimPajama keep-one convention)."""
+    labels = connected_components(pairs, src=src, dst=dst).withColumnRenamed("node", key_col)
+    out = (
+        df.select(key_col)
+        .join(labels, key_col, "left")
+        .select(key_col, F.coalesce("cluster", F.col(key_col)).alias("cluster_id"))
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        key_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(key_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop every non-canonical cluster member — the converged star
+    forest's node set IS the drop list, so survivors are one left_anti
+    join (no size/rank pass)."""
+    losers = connected_components(pairs, src=src, dst=dst).select(
+        F.col("node").alias(key_col)
+    )
+    return df.join(losers, key_col, "left_anti")

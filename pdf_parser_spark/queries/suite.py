@@ -2908,6 +2908,67 @@ def q75(spark, sf):
     )
 
 
+@register(
+    "q76_duplicate_clusters",
+    """
+    WITH RECURSIVE w AS (
+      SELECT lang, n_chars, doc_id, w FROM (
+        SELECT lang, n_chars, doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM w a JOIN w b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN counts ca ON ca.doc_id = id_a
+                 JOIN counts cb ON cb.doc_id = id_b
+      WHERE CAST(ni AS DOUBLE) / (ca.nw + cb.nw - ni) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+    ),
+    lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+    ),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY 1)
+    SELECT a.doc_id, a.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           a.doc_id = a.cluster_id AS is_canonical
+    FROM assigned a JOIN sz s USING (cluster_id)
+    """,
+)
+def q76(spark, sf):
+    """Near-dup CLUSTER RESOLUTION — the step after pair generation
+    that pairwise loser-dropping gets wrong: transitive closure over
+    q26's blocked-Jaccard pairs via alternating large-star/small-star
+    connected components (O(log n) shuffle rounds, Kiveris SoCC'14),
+    then per-doc cluster id / size / RefinedWeb-style min-key
+    canonical flag. Oracle replays the closure as a recursive CTE
+    (reachability fixpoint -> min label)."""
+    from ..operators import dedup
+
+    d = _t(spark, sf, "documents")
+    pairs = dedup.blocked_jaccard_pairs(
+        d, block_cols=("lang", "n_chars"), text_col="text", key_col="doc_id", threshold=0.5
+    )
+    return dedup.duplicate_clusters(d, pairs, key_col="doc_id")
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

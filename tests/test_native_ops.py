@@ -218,3 +218,76 @@ def test_winnowing_shared_substring_guarantee(spark):
     }
     assert sets[1] & sets[2], "shared substring must yield a shared fingerprint"
     assert not (sets[1] & sets[3]) or len(sets[1] & sets[3]) < len(sets[1] & sets[2])
+
+
+def _uf_components(n_ids, edges):
+    """Tiny reference union-find: id -> component-min map."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(1234)
+    ids = list(range(200))
+    edges = sorted({tuple(sorted(rng.sample(ids, 2))) for _ in range(120)})
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["cluster"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    want = _uf_components(ids, edges)
+    # operator emits only non-roots; roots/singletons are implicit
+    assert got == {i: c for i, c in want.items() if c != i}
+
+
+def test_connected_components_chain_beats_loser_heuristic(spark):
+    # (10,30),(20,30): pairwise "drop id_b" keeps 10 AND 20 even
+    # though they share near-dup 30; closure puts all three in one
+    # cluster. Plus a long chain (diameter 5) and string keys.
+    pairs = spark.createDataFrame(
+        [(10, 30), (20, 30), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["cluster"] for r in dd.connected_components(pairs).collect()}
+    assert got == {2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 20: 10, 30: 10}
+
+    spairs = spark.createDataFrame(
+        [("u/b", "u/a"), ("u/b", "u/c"), ("u/x", "u/y")], "id_a string, id_b string"
+    )
+    sgot = {r["node"]: r["cluster"] for r in dd.connected_components(spairs).collect()}
+    assert sgot == {"u/b": "u/a", "u/c": "u/a", "u/y": "u/x"}
+
+
+def test_duplicate_clusters_and_keep_canonical(spark):
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(1, 8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in dd.duplicate_clusters(df, pairs).collect()}
+    assert len(out) == 7
+    assert [out[i]["cluster_id"] for i in range(1, 8)] == [1, 1, 1, 4, 5, 5, 7]
+    assert [out[i]["cluster_size"] for i in range(1, 8)] == [3, 3, 3, 1, 2, 2, 1]
+    assert [out[i]["is_canonical"] for i in range(1, 8)] == [
+        True, False, False, True, True, False, True,
+    ]
+    kept = sorted(r["doc_id"] for r in dd.dedup_keep_canonical(df, pairs).collect())
+    assert kept == [1, 4, 5, 7]
+
+
+def test_connected_components_empty_and_max_iter(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dd.connected_components(empty).count() == 0
+    # self-loops and nulls are dropped before clustering
+    junk = spark.createDataFrame([(1, 1), (None, 2), (3, None)], "id_a long, id_b long")
+    assert dd.connected_components(junk).count() == 0
