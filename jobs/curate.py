@@ -13,7 +13,9 @@ The standard pre-training data hygiene pass, end to end:
     → PII redaction (text := text_redacted)     (native exprs)
     → exact dedup (min-url keeper per md5 fp)   (1 shuffle)
     → MinHash-LSH near-dup prune (xxhash64,
-      banded, hot-bucket-capped, optional)      (bucketed, no O(n²))
+      banded, hot-bucket-capped, optional;
+      --transitive-near-dups closes pairs into
+      clusters and keeps one canonical doc)     (bucketed, no O(n²))
     → append curated rows to <outdir>/curated   (the checkpoint)
     → stage-funnel metrics JSON                 (counts + drop rates)
 
@@ -73,6 +75,7 @@ def run(
     quarantine: bool = True,
     snapshots: bool = False,
     input_format: str = "parquet",
+    transitive_near_dups: bool = False,
 ) -> dict:
     from pdf_parser_spark.fsutil import ensure_local_path
 
@@ -86,6 +89,7 @@ def run(
         return _run(
             input_path, outdir, spark, resume, near_dups,
             near_dup_threshold, quarantine, caches, snapshots, input_format,
+            transitive_near_dups,
         )
     finally:
         for c in caches:
@@ -106,6 +110,7 @@ def _run(
     caches: list,
     snapshots: bool = False,
     input_format: str = "parquet",
+    transitive_near_dups: bool = False,
 ) -> dict:
     t0 = time.perf_counter()
     out = Path(outdir)
@@ -203,12 +208,24 @@ def _run(
         pairs = dd.near_dup_pairs_minhash(
             survivors, text_col="text", key_col="url", threshold=near_dup_threshold
         )
-        # persist the (tiny) loser url set: its LINEAGE is the entire
-        # minhash pipeline, and it feeds the anti-join, the quarantine
-        # keepers union and the near_dup reason rows — without the
-        # cache the r3 profiling showed minhash re-executing 4x
-        # (quarantine_write alone was 342 s of a 587 s job at 50k docs)
-        losers = pairs.select(F.col("id_b").alias("url")).distinct().persist()
+        if transitive_near_dups:
+            # RefinedWeb/SlimPajama cluster semantics: close the pair
+            # list transitively (O(log n) star-contraction rounds) and
+            # keep ONE canonical doc per component (the min url). The
+            # pairwise default below under-drops when two docs share a
+            # near-dup but were never paired with each other; closure
+            # charges the whole cluster to one keeper.
+            losers = (
+                dd.connected_components(pairs)
+                .select(F.col("node").alias("url"))
+                .persist()
+            )
+        else:
+            # pairwise loser-drop: pairs are id_a < id_b, so each
+            # cluster's min url is never an id_b and always survives —
+            # safe (never empties a cluster), but keeps BOTH a and c
+            # for pairs (a,b),(c,b)
+            losers = pairs.select(F.col("id_b").alias("url")).distinct().persist()
         caches.append(losers)
         n_near_dropped = losers.count()
         survivors = survivors.join(losers, on="url", how="left_anti")
@@ -276,6 +293,9 @@ def _run(
         "dropped_dup_lines": funnel["drop_dup_lines"] or 0,
         "dropped_exact_dup": n_exact_dropped,
         "dropped_near_dup": n_near_dropped,
+        "near_dup_mode": (
+            ("transitive" if transitive_near_dups else "pairwise") if near_dups else "off"
+        ),
         "newly_curated": n_after_exact - n_near_dropped,
         "total_curated": n_curated,
         "wall_sec": round(time.perf_counter() - t0, 2),
@@ -295,6 +315,13 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-near-dups", dest="near_dups", action="store_false")
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--transitive-near-dups",
+        action="store_true",
+        help="close near-dup pairs into clusters (connected components) and "
+        "keep one canonical doc per cluster, instead of the pairwise "
+        "id_b loser-drop",
+    )
     ap.add_argument("--snapshots", action="store_true")
     ap.add_argument("--input-format", choices=("parquet", "warc"), default="parquet")
     ap.add_argument("--cpus", type=int, default=None)
@@ -311,6 +338,7 @@ def main() -> None:
                 near_dup_threshold=args.near_dup_threshold,
                 snapshots=args.snapshots,
                 input_format=args.input_format,
+                transitive_near_dups=args.transitive_near_dups,
             )
         )
     )

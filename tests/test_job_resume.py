@@ -507,3 +507,65 @@ def test_curate_crash_between_quarantine_and_curated_converges(spark, tmp_path):
     assert cur.count() == first["total_curated"]
     assert cur.intersect(q.select("url")).count() == 0
     assert cur.union(q.select("url")).distinct().count() == 24
+
+
+def test_curate_transitive_near_dups_drops_whole_cluster(spark, tmp_path):
+    """Star cluster a~c, b~c (a!~b): the pairwise default drops only c
+    (both a and b survive even though they share near-dup c); the
+    --transitive-near-dups closure keeps exactly one canonical doc —
+    the min url a — and quarantines b and c as near_dup."""
+    import datetime
+
+    from jobs.curate import run as run_curate
+    from pdf_parser_spark.sources.corpus import DOCUMENTS_SCHEMA
+
+    base = [f"token{i:03d}" for i in range(1, 61)]  # 60 words, 58 shingles
+    doc_c = " ".join(base)
+    doc_a = " ".join(["alpha001", "alpha002", "alpha003"] + base[3:])
+    doc_b = " ".join(base[:-3] + ["omega001", "omega002", "omega003"])
+    # J(a,c)=J(b,c)=55/61≈0.90 >= 0.85; J(a,b)=52/64≈0.81 < 0.85
+    fillers = [
+        " ".join(f"fill{k}x{i:03d}" for i in range(1, 61)) for k in ("p", "q")
+    ]
+    ts = datetime.datetime(2025, 5, 1)
+    rows = [
+        ("http://a.example/x", ts, None, doc_a, "en"),
+        ("http://b.example/x", ts, None, doc_b, "en"),
+        ("http://c.example/x", ts, None, doc_c, "en"),
+        ("http://d.example/x", ts, None, fillers[0], "en"),
+        ("http://e.example/x", ts, None, fillers[1], "en"),
+    ]
+    corpus = str(tmp_path / "star.parquet")
+    write_documents(spark.createDataFrame(rows, DOCUMENTS_SCHEMA), corpus)
+
+    pw = run_curate(
+        corpus, str(tmp_path / "out_pw"), spark=spark,
+        near_dup_threshold=0.85,
+    )
+    assert pw["near_dup_mode"] == "pairwise"
+    assert pw["dropped_near_dup"] == 1  # only c, the shared id_b
+    kept_pw = {
+        r["url"]
+        for r in spark.read.parquet(str(tmp_path / "out_pw" / "curated")).collect()
+    }
+    assert kept_pw == {
+        "http://a.example/x", "http://b.example/x",
+        "http://d.example/x", "http://e.example/x",
+    }
+
+    tr = run_curate(
+        corpus, str(tmp_path / "out_tr"), spark=spark,
+        near_dup_threshold=0.85, transitive_near_dups=True,
+    )
+    assert tr["near_dup_mode"] == "transitive"
+    assert tr["dropped_near_dup"] == 2  # b and c: whole cluster minus canonical a
+    kept_tr = {
+        r["url"]
+        for r in spark.read.parquet(str(tmp_path / "out_tr" / "curated")).collect()
+    }
+    assert kept_tr == {
+        "http://a.example/x", "http://d.example/x", "http://e.example/x",
+    }
+    q = spark.read.parquet(str(tmp_path / "out_tr" / "quarantine"))
+    near = {r["url"] for r in q.where(q.reason == "near_dup").collect()}
+    assert near == {"http://b.example/x", "http://c.example/x"}
