@@ -628,6 +628,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list —
     alternating large-star / small-star (Kiveris et al., "Connected
@@ -694,8 +695,10 @@ def connected_components(
 
     e = e.localCheckpoint(eager=True)
     prev = _sig(e)
+    rounds = 0
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
         cur = _sig(e)
         if cur == prev:
             break
@@ -705,6 +708,11 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             f"(pairs={prev[0]}) — raise max_iter or check the pair generator"
         )
+    if stats is not None:
+        # observability for scale runs: round count is the O(log n)
+        # claim made measurable; final edge count = non-root node count
+        stats["rounds"] = rounds
+        stats["final_edges"] = prev[0]
     # converged state is a star forest (member -> component min); the
     # groupBy-min is an idempotent safety net, not a semantic step
     return e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("cluster"))

@@ -238,6 +238,36 @@ def main() -> None:
         ),
     )
 
+    # --- near-dup cluster resolution (r4: transitive closure) --------
+    def cluster_resolution():
+        pairs = (
+            dd.simhash_near_dups(
+                dd.simhash(docs, text_col="text", key_col="url"), key_col="url"
+            )
+            .select("id_a", "id_b")
+            .cache()
+        )
+        n_pairs = pairs.count()
+        st: dict = {}
+        labels = dd.connected_components(pairs, stats=st).cache()
+        n_nonroot = labels.count()
+        n_clusters = labels.select("cluster").distinct().count()
+        extra = results["legs"].setdefault("cluster_resolution", {})
+        extra.update(
+            {
+                "input_pairs": n_pairs,
+                "clusters": n_clusters,
+                "closure_rounds": st.get("rounds"),
+                "note": "large-star/small-star over the simhash pair list; "
+                "rounds = O(log n) star-contraction iterations to fixpoint",
+            }
+        )
+        pairs.unpersist()
+        labels.unpersist()
+        return n_nonroot
+
+    leg("cluster_resolution", cluster_resolution)
+
     # --- webtext hygiene chain (scan-shaped) -------------------------
     def webtext():
         flagged = wf.pii_redact(wf.line_dup_stats(wf.gopher_quality_flags(docs)))
