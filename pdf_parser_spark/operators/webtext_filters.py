@@ -10,6 +10,9 @@ Codegen, zero UDFs, zero shuffles until the caller aggregates) so a
                          fractions (Rae et al. 2021 "Gopher" §A1.1)
   line_dup_stats         duplicate-line fraction by count and by
                          character mass (C4-style boilerplate signal)
+  c4_line_clean          C4 §2.2 line retention as a text REWRITE
+                         (terminal punct, min words, javascript drop)
+                         + lorem-ipsum / curly-brace page flag
   pii_redact             email / phone / IPv4 redaction with per-doc
                          match counts (accountable, not silent)
   canonicalize_url       lowercase scheme+host, strip fragments and
@@ -162,6 +165,61 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_phones", n_phone)
         .withColumn("n_ips", n_ip)
         .withColumn("text_redacted", red)
+    )
+
+
+_TERMINAL_PUNCT_RX = r'[.!?"”]$'
+_JAVASCRIPT_WORD_RX = r"\bjavascript\b"
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4 line-level cleanup (Raffel et al. 2020 §2.2) as a text
+    REWRITE, not just a flag — the one hygiene step that edits the
+    document body instead of adjudicating it whole:
+
+      line kept iff it ends in terminal punctuation, has >=
+      min_words_per_line whitespace words, and doesn't contain the
+      word 'javascript' (case-insensitive, word-bounded);
+      page kept (c4_page_keep) iff the CLEANED text still has >=
+      min_sentences terminal-punctuation marks and the ORIGINAL page
+      has neither 'lorem ipsum' nor a curly brace (code smell).
+
+    Adds text_clean, c4_n_lines, c4_n_lines_kept, c4_page_keep.
+    Native column expressions only (filter/array_join HOFs — codegen,
+    zero shuffles): at 10^12 rows this is scan-shaped like the rest of
+    the module. ANSI-replayable (oracle q77). The line array is
+    hoisted into a projected column per the module's HOF-lambda rule.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.withColumn("__c4l", F.split(c, r"\n"))
+    lines = F.col("__c4l")
+    base = base.withColumn(
+        "__c4k",
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).rlike(_TERMINAL_PUNCT_RX)
+            & (F.size(F.split(F.trim(x), r"\s+")) >= F.lit(min_words_per_line))
+            & ~F.lower(x).rlike(_JAVASCRIPT_WORD_RX),
+        ),
+    )
+    kept = F.col("__c4k")
+    base = base.withColumn("text_clean", F.array_join(kept, "\n"))
+    n_sent = F.regexp_count(F.col("text_clean"), F.lit(r"[.!?]"))
+    page_keep = (
+        (n_sent >= F.lit(min_sentences))
+        & ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+    )
+    return (
+        base.withColumn("c4_n_lines", F.size(lines))
+        .withColumn("c4_n_lines_kept", F.size(kept))
+        .withColumn("c4_page_keep", page_keep)
+        .drop("__c4l", "__c4k")
     )
 
 

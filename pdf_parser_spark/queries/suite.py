@@ -2969,6 +2969,44 @@ def q76(spark, sf):
     return dedup.duplicate_clusters(d, pairs, key_col="doc_id")
 
 
+@register(
+    "q77_c4_line_clean",
+    r"""
+    WITH k AS (
+      SELECT doc_id,
+             string_split(COALESCE(text, ''), chr(10)) AS ls,
+             COALESCE(text, '') AS t,
+             list_filter(string_split(COALESCE(text, ''), chr(10)), x ->
+                regexp_matches(rtrim(x), '[.!?"”]$')
+                AND len(string_split_regex(trim(x), '\s+')) >= 3
+                AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept
+      FROM documents
+    )
+    SELECT doc_id,
+           -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+           COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+           len(ls) AS c4_n_lines,
+           len(kept) AS c4_n_lines_kept,
+           (len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) >= 5
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{')) AS c4_page_keep
+    FROM k
+    """,
+)
+def q77(spark, sf):
+    """C4 line-level cleanup as a text REWRITE (Raffel et al. 2020
+    §2.2): keep lines ending in terminal punctuation with >=3 words
+    and no word 'javascript'; page flag re-checks sentence count on
+    the cleaned text plus the lorem-ipsum / curly-brace smells.
+    Pure filter/array_join HOFs — scan-shaped at 10^12 rows."""
+    from ..operators import webtext_filters as wf
+
+    d = _t(spark, sf, "documents")
+    return wf.c4_line_clean(d).select(
+        "doc_id", "text_clean", "c4_n_lines", "c4_n_lines_kept", "c4_page_keep"
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

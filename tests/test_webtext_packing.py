@@ -379,3 +379,40 @@ def test_minhash_signature_estimates_jaccard(spark):
     # sd = sqrt(j(1-j)/64) ~ 0.06; allow 4 sigma
     assert abs(est - true_j) < 0.25, (est, true_j)
     assert 0.4 < true_j < 0.8  # fixture sanity: mid-range Jaccard
+
+
+def test_c4_line_clean_rewrite_and_page_flag(spark):
+    good = "This sentence has enough words and punctuation."
+    df = spark.createDataFrame(
+        [
+            # every C4 line rule in one doc: short line, no-terminal
+            # line, javascript word, quote-terminated keeper
+            (1, "\n".join([
+                good,
+                "Too short.",                       # <3 words
+                "no terminal punctuation here",     # no [.!?"”] ending
+                "Please enable JavaScript to vote.",# word-bounded match
+                "The latest javascripture review was glowing!",  # NOT a match
+                'He said "keep this line."',
+            ])),
+            (2, None),                               # null text
+            (3, "Lorem ipsum dolor sit amet. " + good + " " + good
+                + " More. Pad! End? Extra."),        # page smell
+            (4, "if (x) { return; }\n" + good),      # curly brace smell
+            (5, " ".join([good] * 5)),               # single line, 5 sentences
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in wf.c4_line_clean(df).collect()}
+    assert out[1]["text_clean"] == "\n".join([
+        good,
+        "The latest javascripture review was glowing!",
+        'He said "keep this line."',
+    ])
+    assert out[1]["c4_n_lines"] == 6 and out[1]["c4_n_lines_kept"] == 3
+    assert not out[1]["c4_page_keep"]  # only 3 terminal marks survive
+    assert out[2]["text_clean"] == "" and not out[2]["c4_page_keep"]
+    assert out[2]["c4_n_lines"] == 1 and out[2]["c4_n_lines_kept"] == 0
+    assert not out[3]["c4_page_keep"]  # lorem ipsum
+    assert not out[4]["c4_page_keep"]  # curly brace
+    assert out[5]["c4_page_keep"] and out[5]["text_clean"] == " ".join([good] * 5)
