@@ -62,3 +62,58 @@ def quality_summary(df: DataFrame, text_col: str = "text", by: str = "lang") -> 
         ).alias("avg_punct_ratio"),
         F.countDistinct("fingerprint").alias("distinct_texts"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: "list[float]",
+    text_col: str = "text",
+    out_col: str = "clf_score",
+    threshold: float = 0.0,
+    portable: bool = False,
+) -> DataFrame:
+    """fastText-style hashed linear classifier SCORING pass: token →
+    hash bucket (mod len(weights)) → weight lookup → mean → threshold.
+    The standard cheap quality/domain classifier a curation funnel runs
+    over 10^12 docs after training offline — here only the (embarrass-
+    ingly parallel) inference, all native exprs, scan-shaped.
+
+    Adds `out_col` (mean bucket weight, 0.0 for empty docs), an
+    `{out_col}_n_words` count, and `{out_col}_keep` (score > threshold).
+
+    `portable=True` hashes with the md5-derived portable_hash64 so an
+    ANSI engine can replay values bit-for-bit (oracle q78); default is
+    xxhash64 (production). Determinism note: choose DYADIC weights
+    (multiples of 2^-10 of modest magnitude) and the double sum is
+    EXACT, so partial-agg order can't wobble the mean — same trick as
+    quality_summary's integer-grid averages.
+
+    The per-element hash inside the fold is inherent per-token work,
+    not the hoisting bug class (no whole-doc expression re-evaluated
+    per element); the word array itself IS hoisted.
+    """
+    n = len(weights)
+    if n == 0:
+        raise ValueError("weights must be non-empty")
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.withColumn(
+        "__hls_w", F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+    ).withColumn("__hls_v", F.array(*[F.lit(float(w)) for w in weights]))
+    words, wv = F.col("__hls_w"), F.col("__hls_v")
+    if portable:
+        bucket = lambda x: tm.portable_hash64(F.lower(x)) % F.lit(n)  # noqa: E731
+    else:
+        bucket = lambda x: F.pmod(F.xxhash64(F.lower(x)), F.lit(n))  # noqa: E731
+    total = F.aggregate(
+        words,
+        F.lit(0.0),
+        lambda acc, x: acc + F.element_at(wv, (bucket(x) + 1).cast("int")),
+    )
+    n_words = F.size(words)
+    score = F.when(n_words == 0, F.lit(0.0)).otherwise(total / n_words)
+    return (
+        base.withColumn(out_col, score)
+        .withColumn(f"{out_col}_n_words", n_words)
+        .withColumn(f"{out_col}_keep", F.col(out_col) > F.lit(threshold))
+        .drop("__hls_w", "__hls_v")
+    )

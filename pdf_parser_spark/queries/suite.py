@@ -3007,6 +3007,50 @@ def q77(spark, sf):
     )
 
 
+@register(
+    "q78_hashed_clf_score",
+    r"""
+    WITH w AS (
+      SELECT [CAST((i*2654435761) % 2049 - 1024 AS DOUBLE)/1024.0
+              FOR i IN range(0,256)] AS wv
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             list_sum(list_transform(ws, x ->
+               wv[CAST(('0x'||substr(md5(lower(x)||'#0'),1,15))::BIGINT % 256 AS INT) + 1]))
+             / len(ws)
+           END AS clf_score,
+           len(ws) AS clf_score_n_words,
+           CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             list_sum(list_transform(ws, x ->
+               wv[CAST(('0x'||substr(md5(lower(x)||'#0'),1,15))::BIGINT % 256 AS INT) + 1]))
+             / len(ws)
+           END > 0.0 AS clf_score_keep
+    FROM t, w
+    """,
+)
+def q78(spark, sf):
+    """fastText-style hashed linear classifier scoring (inference only,
+    weights trained offline): token -> md5-portable hash bucket mod 256
+    -> weight lookup -> mean -> threshold. Weights are DYADIC
+    (multiples of 2^-10, |w|<=1) so the double sum is EXACT and the
+    value oracle is order-proof — the quality_summary determinism trick
+    applied to a dot product. Scan-shaped at 10^12 rows."""
+    from ..operators import text_analysis as ta
+
+    weights = [((i * 2654435761) % 2049 - 1024) / 1024.0 for i in range(256)]
+    d = _t(spark, sf, "documents")
+    return ta.hashed_linear_score(d, weights, portable=True).select(
+        "doc_id", "clf_score", "clf_score_n_words", "clf_score_keep"
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

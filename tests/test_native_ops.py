@@ -291,3 +291,39 @@ def test_connected_components_empty_and_max_iter(spark):
     # self-loops and nulls are dropped before clustering
     junk = spark.createDataFrame([(1, 1), (None, 2), (3, None)], "id_a long, id_b long")
     assert dd.connected_components(junk).count() == 0
+
+
+def test_hashed_linear_score_matches_manual(spark):
+    import hashlib
+
+    from pdf_parser_spark.operators import text_analysis as ta
+
+    weights = [((i * 2654435761) % 2049 - 1024) / 1024.0 for i in range(256)]
+
+    def bucket(tok):
+        return int(hashlib.md5((tok.lower() + "#0").encode()).hexdigest()[:15], 16) % 256
+
+    text = "The Quick brown FOX jumps"
+    expected = sum(weights[bucket(t)] for t in text.split()) / 5
+    df = spark.createDataFrame(
+        [(1, text), (2, ""), (3, None), (4, "   ")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ta.hashed_linear_score(df, weights, portable=True).collect()}
+    assert out[1]["clf_score"] == expected  # exact: dyadic weights
+    assert out[1]["clf_score_n_words"] == 5
+    assert out[1]["clf_score_keep"] == (expected > 0.0)
+    for d in (2, 3, 4):
+        assert out[d]["clf_score"] == 0.0 and out[d]["clf_score_n_words"] == 0
+        assert out[d]["clf_score_keep"] is False
+
+    # production twin: same shape, xxhash64 buckets, scores bounded by
+    # the weight range and case-insensitive
+    prod = ta.hashed_linear_score(df, weights, portable=False).collect()
+    for r in prod:
+        assert -1.0 <= r["clf_score"] <= 1.0
+    up = ta.hashed_linear_score(
+        spark.createDataFrame([(1, text.upper())], "doc_id long, text string"),
+        weights, portable=False,
+    ).first()["clf_score"]
+    low = [r for r in prod if r["doc_id"] == 1][0]["clf_score"]
+    assert up == low
