@@ -3051,6 +3051,49 @@ def q78(spark, sf):
     )
 
 
+@register(
+    "q79_hll_distinct_sketch",
+    r"""
+    WITH h AS (
+      SELECT lang AS "group",
+             ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#0'),1,15))::BIGINT AS hv
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    r AS (
+      SELECT "group", hv % 256 AS idx,
+             MAX(LEAST(CASE WHEN hv // 256 = 0 THEN 53
+                            ELSE 52 - length(bin(hv // 256)) + 1 END, 50)) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT "group", COUNT(*) AS registers_set,
+             CAST(SUM(1::BIGINT << (50 - rho)) AS BIGINT)
+               + (256 - COUNT(*)) * (1::BIGINT << 50) AS sum_scaled
+      FROM r GROUP BY 1
+    )
+    SELECT "group", registers_set, sum_scaled,
+           ROUND(0.7213 / (1.0 + 1.079/256.0) * 256.0 * 256.0
+                 * 1125899906842624.0 / CAST(sum_scaled AS DOUBLE), 4) AS raw_est
+    FROM g
+    """,
+)
+def q79(spark, sf):
+    """HyperLogLog distinct-doc_id sketch per lang (p=8, portable
+    hash) as a REGISTER TABLE — mergeable sketch-as-data, not a
+    black-box agg. rho comes from the bin-string length (integer, no log2), the
+    register sum is the exact BIGINT sum of 2^(50-rho), and the raw
+    estimate is one mirrored double expression — bit-deterministic
+    across engines. Register table is |groups|*256 rows no matter the
+    input size; the corrected (ln-based) estimate stays production-
+    only (test_native_ops accuracy bounds)."""
+    from ..operators import sketches as sk
+
+    d = _t(spark, sf, "documents")
+    d = d.withColumn("k", F.col("doc_id").cast("string"))
+    regs = sk.hll_register_table(d, group_col="lang", key_col="k", p=8, portable=True)
+    return sk.hll_estimate(regs, p=8, corrected=False)
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

@@ -327,3 +327,45 @@ def test_hashed_linear_score_matches_manual(spark):
     ).first()["clf_score"]
     low = [r for r in prod if r["doc_id"] == 1][0]["clf_score"]
     assert up == low
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from pdf_parser_spark.operators import sketches as sk
+
+    # 20k distinct keys, one group; p=12 → expected rel. error ~1.04/64
+    df = spark.range(20_000).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    regs = sk.hll_register_table(df, group_col="grp", key_col="k", p=12)
+    assert regs.count() <= 4096
+    est = sk.hll_estimate(regs, p=12).first()
+    assert abs(est["est"] - 20_000) / 20_000 < 0.05
+
+    # merge = sketch of the union (elementwise max), and idempotent
+    a = df.where(F.col("k") < "key-3")             # lexicographic split
+    b = df.where(F.col("k") >= "key-2")            # overlapping halves
+    ra = sk.hll_register_table(a, group_col="grp", key_col="k", p=12)
+    rb = sk.hll_register_table(b, group_col="grp", key_col="k", p=12)
+    merged = sk.hll_merge(ra, rb)
+    direct = sk.hll_register_table(df, group_col="grp", key_col="k", p=12)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    again = sk.hll_merge(merged, direct)
+    assert again.exceptAll(direct).count() == 0
+
+    # small-range correction engages for tiny cardinalities
+    tiny = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(37)], "grp string, k string"
+    )
+    t = sk.hll_estimate(
+        sk.hll_register_table(tiny, group_col="grp", key_col="k", p=12), p=12
+    ).first()
+    assert abs(t["est"] - 37) < 3  # linear counting is near-exact here
+    # null keys contribute nothing
+    withnull = tiny.union(
+        spark.createDataFrame([("g", None)], "grp string, k string")
+    )
+    t2 = sk.hll_estimate(
+        sk.hll_register_table(withnull, group_col="grp", key_col="k", p=12), p=12
+    ).first()
+    assert t2["est"] == t["est"]
