@@ -3094,6 +3094,48 @@ def q79(spark, sf):
     return sk.hll_estimate(regs, p=8, corrected=False)
 
 
+@register(
+    "q80_open_interval_counts",
+    """
+    SELECT o.o_orderkey,
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_shipdate <= o.o_orderdate)
+         - (SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_shipdate + (l.l_linenumber % 30 + 1) * INTERVAL 1 DAY
+                   < o.o_orderdate) AS in_transit
+    FROM orders o
+    WHERE o.o_orderdate IS NOT NULL
+    """,
+)
+def q80(spark, sf):
+    """Fact×fact interval containment WITHOUT a join: for each order,
+    how many lineitem shipping windows [shipdate, shipdate + 1..30d]
+    were open on the order date. Sweep-line identity (starts<=t minus
+    ends<t) over a union frame + ONE sharded exact prefix sum — no
+    BNLJ, no |matches| intermediate, output rows == probe rows. The
+    oracle replays the identity as two correlated COUNT subqueries
+    (DuckDB decorrelates them)."""
+    from ..operators import sweepline as sw
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    iv = li.select(
+        "l_shipdate",
+        F.expr("l_shipdate + (l_linenumber % 30 + 1) * INTERVAL '1' DAY").alias(
+            "l_until"
+        ),
+    )
+    return sw.open_interval_counts(
+        o,
+        iv,
+        id_col="o_orderkey",
+        point_col="o_orderdate",
+        start_col="l_shipdate",
+        end_col="l_until",
+        out_col="in_transit",
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

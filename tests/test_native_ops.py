@@ -369,3 +369,46 @@ def test_hll_estimate_accuracy_and_merge(spark):
         sk.hll_register_table(withnull, group_col="grp", key_col="k", p=12), p=12
     ).first()
     assert t2["est"] == t["est"]
+
+
+def test_open_interval_counts_vs_brute_force(spark):
+    import random
+
+    from pdf_parser_spark.operators import sweepline as sw
+
+    rng = random.Random(77)
+    ivs = []
+    for _ in range(300):
+        s = rng.randint(0, 1000)
+        ivs.append((s, s + rng.randint(0, 50)))
+    pts = [(i, rng.randint(-5, 1060)) for i in range(120)]
+    # exercise every tie case: probe == start, probe == end, and a
+    # point-interval (s == e)
+    ivs += [(200, 200), (300, 310)]
+    pts += [(900, 200), (901, 300), (902, 310), (903, 311)]
+    ivdf = spark.createDataFrame(ivs, "s long, e long")
+    pdf = spark.createDataFrame(pts, "pid long, t long")
+
+    expect = {
+        pid: sum(1 for s, e in ivs if s <= t <= e) for pid, t in pts
+    }
+    got = {
+        r["pid"]: r["open_count"]
+        for r in sw.open_interval_counts(
+            pdf, ivdf, id_col="pid", point_col="t", start_col="s", end_col="e"
+        ).collect()
+    }
+    assert got == expect
+
+    # sharded (default) == single-window oracle path, null endpoints ignored
+    ivdf2 = ivdf.union(spark.createDataFrame([(None, 5), (5, None)], "s long, e long"))
+    a = sw.open_interval_counts(
+        pdf, ivdf2, id_col="pid", point_col="t", start_col="s", end_col="e", shards=None
+    ).collect()
+    b = sw.open_interval_counts(
+        pdf, ivdf2, id_col="pid", point_col="t", start_col="s", end_col="e", shards=8
+    ).collect()
+    assert sorted((r["pid"], r["open_count"]) for r in a) == sorted(
+        (r["pid"], r["open_count"]) for r in b
+    )
+    assert {r["pid"]: r["open_count"] for r in a} == expect
