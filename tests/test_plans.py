@@ -189,3 +189,46 @@ def test_date_partition_pruning(spark, tmp_path):
         assert int(m.group(1)) < n_days
     # and the data actually narrows
     assert 0 < one_day.count() < 1500
+
+
+def test_c4_and_clf_scan_shaped(spark):
+    """The hygiene rewrites stay WholeStageCodegen scans: no exchange,
+    no UDF eval nodes, column-pruned parquet reads."""
+    for name in ("q77_c4_line_clean", "q78_hashed_clf_score"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "*(" in plan, name + ": codegen stages expected"
+        scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+        assert any("doc_id" in l and "n_chars" not in l for l in scans), (
+            name + ": scan must prune to (doc_id, text)"
+        )
+
+
+def test_hll_sketch_single_exchange(spark):
+    """Register build + estimate = exactly the two hash aggs' shuffles
+    (group,idx) then (group); partial agg on the map side."""
+    plan = plan_of(spark, "q79_hll_distinct_sketch")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_max" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sweepline_no_join_no_bnlj(spark):
+    """The interval containment query must never become a join over
+    points x intervals: only the 1-row broadcasts (bounds/offsets) are
+    allowed, and no nested loop anywhere."""
+    plan = plan_of(spark, "q80_open_interval_counts")
+    # the only BNLJ allowed is the 1-ROW bounds-array broadcast
+    # (IdentityBroadcastMode); points and intervals themselves never
+    # meet in a join of any kind
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+        assert "IdentityBroadcastMode" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one range repartition feeds the per-shard window; the offsets
+    # attach via a broadcast hash join on the tiny shard table
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
