@@ -268,6 +268,51 @@ def main() -> None:
 
     leg("cluster_resolution", cluster_resolution)
 
+    # --- classifier / sketch / sweep legs (r4 additions) -------------
+    def clf_leg():
+        from pdf_parser_spark.operators import text_analysis as ta
+
+        weights = [((i * 2654435761) % 2049 - 1024) / 1024.0 for i in range(256)]
+        scored = ta.hashed_linear_score(docs, weights)  # xxhash64 prod path
+        row = scored.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("clf_score_keep").cast("long")).alias("kept"),
+        ).first()
+        results["legs"].setdefault("hashed_clf_score", {})["kept_docs"] = int(
+            row["kept"] or 0
+        )
+        return int(row["n"])
+
+    leg("hashed_clf_score", clf_leg)
+
+    def hll_leg():
+        from pdf_parser_spark.operators import sketches as sk
+
+        regs = sk.hll_register_table(docs, group_col="lang", key_col="url", p=12)
+        rows = sk.hll_estimate(regs, p=12).collect()
+        results["legs"].setdefault("hll_distinct_urls", {})["estimates"] = {
+            str(r["group"]): round(r["est"], 1) for r in rows
+        }
+        return len(rows)
+
+    leg("hll_distinct_urls", hll_leg)
+
+    def sweep_leg():
+        from pdf_parser_spark.operators import sweepline as sw
+
+        iv = docs.select(
+            F.col("warc_ts").alias("s"),
+            F.expr("warc_ts + INTERVAL '7' DAY").alias("e"),
+        )
+        return _force(
+            sw.open_interval_counts(
+                docs, iv, id_col="url", point_col="warc_ts",
+                start_col="s", end_col="e", out_col="open_crawl_windows",
+            )
+        )
+
+    leg("sweepline_open_counts", sweep_leg)
+
     # --- webtext hygiene chain (scan-shaped) -------------------------
     def webtext():
         flagged = wf.pii_redact(wf.line_dup_stats(wf.gopher_quality_flags(docs)))
