@@ -3136,6 +3136,71 @@ def q80(spark, sf):
     )
 
 
+# BM25 constants baked ONCE in Python and formatted into BOTH sides
+# (repr round-trips the exact double, ::DOUBLE defeats DuckDB's
+# decimal-literal typing) so no cross-engine float literal can drift
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("spark", "merge", "window")
+_bm25_tf = "\n".join(
+    f"         len(list_filter(ws, x -> x = '{t}')) AS tf_{i},"
+    for i, t in enumerate(_BM25_TERMS)
+).rstrip(",")
+_bm25_df = ",\n".join(
+    f"         SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_bm25_score = " + ".join(
+    f"(CAST(n - df_{i} AS DOUBLE) + {0.5!r}::DOUBLE)"
+    f" / (CAST(df_{i} AS DOUBLE) + {0.5!r}::DOUBLE)"
+    f" * (tf_{i} * {_BM25_K1 + 1.0!r}::DOUBLE"
+    f" / (tf_{i} + {_BM25_K1!r}::DOUBLE * ({1.0 - _BM25_B!r}::DOUBLE"
+    f" + {_BM25_B!r}::DOUBLE * dl / (CAST(sdl AS DOUBLE) / n))))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@register(
+    "q81_keyword_topk_bm25",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(ws) AS dl,
+{_bm25_tf}
+      FROM t
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+{_bm25_df}
+      FROM s
+    )
+    SELECT doc_id,
+           {0.0!r}::DOUBLE + {_bm25_score} AS score,
+           dl, tf_0, tf_1, tf_2
+    FROM s, g
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q81(spark, sf):
+    """BM25-family keyword top-k over the corpus: per-doc tf via
+    array-filter counts (no explode), corpus stats (N, sum dl, df per
+    term) as ONE broadcast aggregate row, rational Robertson-odds idf
+    (the ln-free variant — bit-portable; classic=True keeps textbook
+    ln idf production-only), TakeOrderedAndProject top-10 with doc_id
+    tiebreak."""
+    from ..operators import retrieval as rt
+
+    d = _t(spark, sf, "documents")
+    return rt.keyword_topk(
+        d, list(_BM25_TERMS), key_col="doc_id", k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

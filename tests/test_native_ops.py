@@ -412,3 +412,37 @@ def test_open_interval_counts_vs_brute_force(spark):
         (r["pid"], r["open_count"]) for r in b
     )
     assert {r["pid"]: r["open_count"] for r in a} == expect
+
+
+def test_keyword_topk_ranking(spark):
+    from pdf_parser_spark.operators import retrieval as rt
+
+    rows = [
+        (1, "spark spark spark filler filler filler"),       # high tf, short
+        (2, "spark filler " + "pad " * 50),                  # low tf, long
+        (3, "merge merge " + "pad " * 5),                    # rare term
+        (4, "pad only here nothing else"),
+        (5, None),
+    ] + [(10 + i, "common words " + "pad " * 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = rt.keyword_topk(df, ["spark", "merge"], k=3).collect()
+    assert [r["doc_id"] for r in out][:2] in ([1, 3], [3, 1])
+    top = {r["doc_id"]: r for r in out}
+    assert top[1]["tf_0"] == 3 and top[1]["tf_1"] == 0
+    assert top[3]["tf_1"] == 2
+    assert all(out[i]["score"] >= out[i + 1]["score"] for i in range(len(out) - 1))
+
+    # classic ln-idf variant keeps the same leaders here
+    cls = rt.keyword_topk(df, ["spark", "merge"], k=3, classic=True).collect()
+    assert {r["doc_id"] for r in cls[:2]} == {r["doc_id"] for r in out[:2]}
+
+    # deterministic k-boundary: zero-score ties cut by doc_id
+    z = rt.keyword_topk(df, ["absent"], k=5).collect()
+    assert [r["doc_id"] for r in z] == [1, 2, 3, 4, 5]
+    assert all(r["score"] == 0.0 for r in z)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rt.keyword_topk(df, [])

@@ -232,3 +232,13 @@ def test_sweepline_no_join_no_bnlj(spark):
     # attach via a broadcast hash join on the tiny shard table
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_keyword_topk_plan(spark):
+    """BM25 leg: no explode (rows never multiply), corpus stats attach
+    via a 1-row broadcast, ranking is TakeOrderedAndProject."""
+    plan = plan_of(spark, "q81_keyword_topk_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate explode" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
