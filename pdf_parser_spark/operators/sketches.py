@@ -23,6 +23,10 @@ is production-only (pytest checks accuracy bounds, not bits).
                        groupBy(group, idx); scan-shaped before it
   hll_merge            elementwise max of two register tables
   hll_estimate         per-group raw + corrected estimates
+  log2_histogram       mergeable order-of-magnitude value histogram
+                       (≤ ~64 rows/group; merge = SUM; oracle q82)
+  quantile_from_log2_histogram  bucket-midpoint quantile estimate
+                       (factor-of-2 band — the sketch's honest error)
 
 Scale notes: register table size is |groups| * m rows regardless of
 input size — the groupBy's map-side partial MAX does the heavy
@@ -86,6 +90,78 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         a.unionByName(b)
         .groupBy("group", "idx")
         .agg(F.max("rho").alias("rho"))
+    )
+
+
+def log2_histogram(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mergeable order-of-magnitude histogram — the quantile-sketch
+    sibling of the HLL register table. One (group, bucket, cnt, lo,
+    hi) row per non-empty power-of-two bucket: bucket b =
+    bit_length(floor(v)) for v >= 1 (so values in [2^(b-1), 2^b)),
+    bucket 0 collects v < 1 (including negatives — bound callers
+    filter first). At most ~64 rows per group regardless of input;
+    merge = SUM of cnt on (group, bucket); bit_length via the
+    bin-string trick keeps everything integer/deterministic (oracle
+    q82). Null values are ignored."""
+    v = F.floor(F.col(value_col)).cast("long")
+    bucket = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v)))
+    lo = F.when(F.col("bucket") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(cast(1 as bigint), bucket - 1)")
+    )
+    hi = F.when(F.col("bucket") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(cast(1 as bigint), bucket) - 1")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("group"), bucket.alias("bucket"))
+        .groupBy("group", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lo", lo)
+        .withColumn("hi", hi)
+    )
+
+
+def log2_histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two histograms (same value domain): SUM counts per
+    (group, bucket) — associative/commutative, cross-day rollup."""
+    return (
+        a.unionByName(b)
+        .groupBy("group", "bucket")
+        .agg(F.sum("cnt").alias("cnt"), F.min("lo").alias("lo"), F.min("hi").alias("hi"))
+    )
+
+
+def quantile_from_log2_histogram(hist: DataFrame, q: float) -> DataFrame:
+    """Per-group quantile ESTIMATE from the histogram: the midpoint of
+    the first bucket whose cumulative count reaches ceil(q * total).
+    Error is bounded by the bucket (a factor-of-2 band) — the honest
+    contract of an order-of-magnitude sketch. Window partitions are
+    bounded (<= ~64 buckets/group)."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError("q in (0, 1]")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("group")
+    need = F.ceil(F.lit(q) * F.sum("cnt").over(wt)).cast("long")
+    cum = F.sum("cnt").over(w)
+    return (
+        hist.withColumn("_cum", cum)
+        .withColumn("_need", need)
+        .where(F.col("_cum") >= F.col("_need"))
+        .groupBy("group")
+        .agg(F.min(F.struct("bucket", "lo", "hi")).alias("b"))
+        .select(
+            "group",
+            F.col("b.bucket").alias("bucket"),
+            ((F.col("b.lo").cast("double") + F.col("b.hi")) / F.lit(2.0)).alias(
+                "estimate"
+            ),
+        )
     )
 
 

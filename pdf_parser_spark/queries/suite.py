@@ -3201,6 +3201,36 @@ def q81(spark, sf):
     )
 
 
+@register(
+    "q82_log2_histogram",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS "group",
+             CASE WHEN CAST(FLOOR(l_extendedprice) AS BIGINT) <= 0 THEN 0
+                  ELSE length(bin(CAST(FLOOR(l_extendedprice) AS BIGINT))) END AS bucket
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT "group", bucket, COUNT(*) AS cnt,
+           CASE WHEN bucket = 0 THEN 0
+                ELSE (1::BIGINT << (bucket - 1)) END AS lo,
+           CASE WHEN bucket = 0 THEN 0
+                ELSE (1::BIGINT << bucket) - 1 END AS hi
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q82(spark, sf):
+    """Mergeable order-of-magnitude price histogram per return flag —
+    the quantile-sketch sibling of q79's HLL register table: bucket =
+    bit_length(floor(v)) via the bin-string trick (pure integers,
+    bit-deterministic), <= ~64 rows per group at ANY input size, merge
+    = SUM on (group, bucket). The bucket-midpoint quantile estimator
+    is tested against exact percentiles in pytest."""
+    from ..operators import sketches as sk
+
+    li = _t(spark, sf, "lineitem")
+    return sk.log2_histogram(li, group_col="l_returnflag", value_col="l_extendedprice")
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

@@ -446,3 +446,44 @@ def test_keyword_topk_ranking(spark):
 
     with _pytest.raises(ValueError):
         rt.keyword_topk(df, [])
+
+
+def test_log2_histogram_and_quantile(spark):
+    from pdf_parser_spark.operators import sketches as sk
+
+    vals = [0.2, 0.9, 1.0, 1.5, 3.0, 7.9, 8.0, 100.0, 1000.0, None, -4.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v double"
+    )
+    h = {
+        (r["bucket"]): (r["cnt"], r["lo"], r["hi"])
+        for r in sk.log2_histogram(df, group_col="grp", value_col="v").collect()
+    }
+    # floor: 0.2/0.9 -> 0; -4 -> 0; 1/1.5 -> bucket 1 [1,1]; 3 -> 2 [2,3];
+    # 7.9 -> 3 [4,7]; 8 -> 4 [8,15]; 100 -> 7 [64,127]; 1000 -> 10 [512,1023]
+    assert h == {
+        0: (3, 0, 0), 1: (2, 1, 1), 2: (1, 2, 3), 3: (1, 4, 7),
+        4: (1, 8, 15), 7: (1, 64, 127), 10: (1, 512, 1023),
+    }
+
+    # merge(hist(A), hist(B)) == hist(A ∪ B)
+    a, b = df.limit(5), df.subtract(df.limit(5))
+    merged = sk.log2_histogram_merge(
+        sk.log2_histogram(a, "grp", "v"), sk.log2_histogram(b, "grp", "v")
+    )
+    direct = sk.log2_histogram(df, "grp", "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    # quantile estimate lands inside the true quantile's bucket band
+    import math
+
+    big = spark.range(1, 10_001).select(
+        F.lit("g").alias("grp"), (F.col("id") * F.col("id")).cast("double").alias("v")
+    )
+    hist = sk.log2_histogram(big, "grp", "v")
+    est = sk.quantile_from_log2_histogram(hist, 0.5).first()
+    true_p50 = 5000.0 * 5000.0  # id^2 median ~ (n/2)^2
+    assert 2 ** (est["bucket"] - 1) <= true_p50 <= 2 ** est["bucket"]
+    assert est["estimate"] == (2 ** (est["bucket"] - 1) + 2 ** est["bucket"] - 1) / 2.0
+    with __import__("pytest").raises(ValueError):
+        sk.quantile_from_log2_histogram(hist, 0.0)
