@@ -3099,12 +3099,13 @@ def q79(spark, sf):
     """
     SELECT o.o_orderkey,
            (SELECT COUNT(*) FROM lineitem l
-             WHERE l.l_shipdate <= o.o_orderdate)
+             WHERE l.l_orderkey % 2 = 0 AND l.l_shipdate <= o.o_orderdate)
          - (SELECT COUNT(*) FROM lineitem l
-             WHERE l.l_shipdate + (l.l_linenumber % 30 + 1) * INTERVAL 1 DAY
+             WHERE l.l_orderkey % 2 = 0
+               AND l.l_shipdate + (l.l_linenumber % 30 + 1) * INTERVAL 1 DAY
                    < o.o_orderdate) AS in_transit
     FROM orders o
-    WHERE o.o_orderdate IS NOT NULL
+    WHERE o.o_orderkey % 2 = 0 AND o.o_orderdate IS NOT NULL
     """,
 )
 def q80(spark, sf):
@@ -3114,11 +3115,13 @@ def q80(spark, sf):
     ends<t) over a union frame + ONE sharded exact prefix sum — no
     BNLJ, no |matches| intermediate, output rows == probe rows. The
     oracle replays the identity as two correlated COUNT subqueries
-    (DuckDB decorrelates them)."""
+    (DuckDB decorrelates them). Both sides run on a mirrored 1-in-2
+    key sample (the q45 suite-budget precedent) — value coverage is
+    unchanged, the sweep frame halves."""
     from ..operators import sweepline as sw
 
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") % 2 == 0)
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 2 == 0)
     iv = li.select(
         "l_shipdate",
         F.expr("l_shipdate + (l_linenumber % 30 + 1) * INTERVAL '1' DAY").alias(
