@@ -101,3 +101,61 @@ def mixture_report(
             F.round(F.col("out_rows") / F.col("in_docs").cast("double"), 6) + F.lit(0.0),
         )
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "url",
+    seed: int = 0,
+    buckets: int = 10_000,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash: bucket =
+    hash(key, seed) % buckets, split = the CASE band the bucket falls
+    in (fractions quantized to whole buckets ON THE DRIVER, exact
+    Python ints — the engine never does float math on the decision).
+
+    Properties a 100 TB pipeline needs and df.randomSplit lacks:
+      - STABLE: a document's split is a pure function of its key —
+        re-runs, repartitions, appended shards, even other engines
+        (portable=True replays in DuckDB — oracle q85) agree, so a
+        held-out set never leaks into training when the corpus grows;
+      - scan-shaped: zero shuffles, one projected CASE column;
+      - disjoint + exhaustive: bands partition [0, buckets).
+
+    `splits` maps name→fraction (must sum to ~1; the last band absorbs
+    the rounding remainder). Band layout follows sorted(splits) so the
+    dict's insertion order can't silently re-cut existing splits.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    if buckets < len(splits):
+        raise ValueError(f"buckets={buckets} < {len(splits)} splits")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    names = sorted(splits)
+    cuts: list[tuple[str, int]] = []  # (name, exclusive upper bucket)
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        cuts.append((name, int(round(acc * buckets))))
+    cuts.append((names[-1], buckets))  # last band absorbs remainder
+
+    key = F.col(key_col).cast("string")
+    if portable:
+        b = portable_hash64(key, seed) % F.lit(buckets)
+    else:
+        b = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(buckets))
+
+    # bind the hash once via a projected column so it is computed a
+    # single time per row, not once per CASE branch
+    expr = F.lit(cuts[-1][0])
+    for name, hi in reversed(cuts[:-1]):
+        expr = F.when(F.col("_split_bucket") < F.lit(hi), F.lit(name)).otherwise(expr)
+    return (
+        df.withColumn("_split_bucket", b)
+        .withColumn("split", expr)
+        .drop("_split_bucket")
+    )

@@ -27,6 +27,19 @@ is production-only (pytest checks accuracy bounds, not bits).
                        (≤ ~64 rows/group; merge = SUM; oracle q82)
   quantile_from_log2_histogram  bucket-midpoint quantile estimate
                        (factor-of-2 band — the sketch's honest error)
+  cms_table            count-min sketch (Cormode & Muthukrishnan 2005)
+                       as a (group, row, col, cnt) counter table —
+                       frequency sibling of the HLL register table
+                       (≤ d*w rows/group; merge = SUM; oracle q83)
+  cms_merge            elementwise SUM of two counter tables
+  cms_lookup           point-frequency estimates for a probe frame
+                       (min over d counters; never underestimates)
+  bloom_table          Bloom filter (Bloom 1970) as a (group, pos)
+                       set-bit table — membership sibling
+                       (≤ m rows/group; merge = distinct ∪; oracle q84)
+  bloom_merge          set union of two bit tables
+  bloom_contains       broadcast membership probe for a corpus frame
+                       (no false negatives; probes never shuffle)
 
 Scale notes: register table size is |groups| * m rows regardless of
 input size — the groupBy's map-side partial MAX does the heavy
@@ -209,3 +222,174 @@ def hll_estimate(registers: DataFrame, p: int = 12, corrected: bool = True) -> D
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(F.col("raw_est"))
     return out.withColumn("est", F.round(est, 4))
+
+
+def _cms_coords(key, d: int, w: int, portable: bool):
+    """Array of d (row, col) structs for a key — one counter
+    coordinate per hash row. Hash rows are independent by seed:
+    portable uses the md5-derived 60-bit hash with seed=i (DuckDB
+    replays it — oracle q83); production uses xxhash64(key, i)."""
+    coords = []
+    for i in range(d):
+        if portable:
+            h = portable_hash64(key, seed=i)
+        else:
+            h = F.shiftrightunsigned(F.xxhash64(key, F.lit(i)), 1)
+        coords.append(
+            F.struct(F.lit(i).alias("row"), (h % F.lit(w)).alias("col"))
+        )
+    return F.array(*coords)
+
+
+def cms_table(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    portable: bool = False,
+) -> DataFrame:
+    """Count-min sketch as data: one (group, row, col, cnt) row per
+    non-empty counter (d hash rows x w columns; absent rows mean 0).
+    The explode multiplies input rows by d BEFORE the groupBy, but the
+    map-side partial SUM collapses them locally, so the shuffle
+    carries at most d*w rows per (group, mapper) — the counter table
+    is <= |groups|*d*w rows regardless of input size, hence always
+    broadcastable. Merge across days/partitions = cms_merge (SUM);
+    point estimate = cms_lookup (MIN over the d counters) with the
+    classic one-sided guarantee: est >= true count, overestimate
+    bounded by eps = e/w of the group's total mass w.p. 1 - e^-d."""
+    if d < 1 or d > 16:
+        raise ValueError(f"d={d} out of range [1, 16]")
+    if w < 2:
+        raise ValueError(f"w={w} must be >= 2")
+    rc = F.explode(_cms_coords(F.col(key_col), d, w, portable)).alias("rc")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("group"), rc)
+        .select(
+            "group",
+            F.col("rc.row").alias("row"),
+            F.col("rc.col").alias("col"),
+        )
+        .groupBy("group", "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two counter tables (same d, w): elementwise SUM — CMS is
+    a linear sketch, so union = addition. Associative/commutative;
+    daily sketches roll up to monthly without raw-data re-reads."""
+    return (
+        a.unionByName(b)
+        .groupBy("group", "row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    portable: bool = False,
+) -> DataFrame:
+    """Point-frequency estimates: for each probe row (must carry a
+    `group` column + key_col), est = MIN over the d counters the key
+    hashes to. The sketch side is broadcast (it is bounded at
+    |groups|*d*w rows by construction), so the lookup is a map-side
+    hash join — no shuffle of the probe frame. Keys the sketch never
+    saw read their counters as 0 via the left join's coalesce."""
+    rc = F.explode(_cms_coords(F.col(key_col), d, w, portable)).alias("rc")
+    keep = [c for c in probes.columns]
+    p = probes.select("*", rc).select(
+        *keep, F.col("rc.row").alias("row"), F.col("rc.col").alias("col")
+    )
+    joined = p.join(F.broadcast(sketch), ["group", "row", "col"], "left")
+    return joined.groupBy(*keep).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est")
+    )
+
+
+def _bloom_positions(key, k: int, m: int, portable: bool):
+    """Array of k bit positions for a key (one per seeded hash). Same
+    seed-independence scheme as the CMS coords: portable = md5-derived
+    60-bit hash with seed=i (DuckDB replays it — oracle q84);
+    production = xxhash64(key, i)."""
+    pos = []
+    for i in range(k):
+        if portable:
+            h = portable_hash64(key, seed=i)
+        else:
+            h = F.shiftrightunsigned(F.xxhash64(key, F.lit(i)), 1)
+        pos.append(h % F.lit(m))
+    return F.array(*pos)
+
+
+def bloom_table(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 4,
+    m: int = 8192,
+    portable: bool = False,
+) -> DataFrame:
+    """Bloom filter as data (Bloom 1970): one (group, pos) row per SET
+    bit of an m-bit array with k hashes per key; absent rows mean 0.
+    Membership sibling of the HLL register table (distinct), the CMS
+    counter table (frequency), and the log2 histogram (quantiles) —
+    same mergeable-sketch-as-DataFrame convention. The k-way explode
+    happens before the groupBy, and the map-side partial collapses
+    duplicate bits locally, so the shuffle carries at most m rows per
+    (group, mapper); the bit table is <= |groups|*m rows at ANY input
+    size, hence always broadcastable. Canonical 100 TB use: build the
+    filter over a benchmark/blocklist key set once, broadcast it, and
+    probe the full corpus map-side (decontamination, URL-seen checks)
+    with the classic one-sided guarantee — NO false negatives; false
+    positive rate ~(1 - e^(-kn/m))^k."""
+    if not 1 <= k <= 16:
+        raise ValueError(f"k={k} out of range [1, 16]")
+    if m < 2:
+        raise ValueError(f"m={m} must be >= 2")
+    pos = F.explode(_bloom_positions(F.col(key_col), k, m, portable)).alias("pos")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("group"), pos)
+        .groupBy("group", "pos")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two bit tables (same k, m): set union = distinct union of
+    the set-bit rows. Associative/commutative; daily blocklist filters
+    roll up without re-reading raw keys."""
+    return a.unionByName(b).distinct()
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    k: int = 4,
+    m: int = 8192,
+    portable: bool = False,
+) -> DataFrame:
+    """Membership probe: for each probe row (must carry a `group`
+    column + key_col), maybe_member = ALL k bit positions set. The
+    bloom side is broadcast (bounded at |groups|*m rows by
+    construction), so the probe is a map-side hash join — the corpus
+    frame never shuffles. One-sided: a key that was inserted ALWAYS
+    reads true (no false negatives); an absent key reads true only if
+    all k of its positions collide with set bits."""
+    pos = F.explode(_bloom_positions(F.col(key_col), k, m, portable)).alias("pos")
+    keep = list(probes.columns)
+    p = probes.select("*", pos)
+    hit = bloom.withColumn("_hit", F.lit(1))
+    joined = p.join(F.broadcast(hit), ["group", "pos"], "left")
+    return joined.groupBy(*keep).agg(
+        (F.min(F.coalesce(F.col("_hit"), F.lit(0))) == 1).alias("maybe_member")
+    )

@@ -487,3 +487,180 @@ def test_log2_histogram_and_quantile(spark):
     assert est["estimate"] == (2 ** (est["bucket"] - 1) + 2 ** est["bucket"] - 1) / 2.0
     with __import__("pytest").raises(ValueError):
         sk.quantile_from_log2_histogram(hist, 0.0)
+
+
+def test_cms_overcount_merge_and_lookup(spark):
+    from pdf_parser_spark.operators import sketches as sk
+
+    # Zipf-ish key mix in one group: key-j appears ~200/(j+1) times
+    df = spark.range(1200).select(
+        F.lit("g").alias("group"),
+        F.concat(F.lit("key-"), (F.col("id") % 40)).alias("k"),
+    )
+    sketch = sk.cms_table(df, "group", "k", d=3, w=32, portable=True)
+    # counter table is bounded at |groups| * d * w regardless of input
+    assert sketch.count() <= 3 * 32
+    rows = sketch.collect()
+    assert all(0 <= r["row"] < 3 and 0 <= r["col"] < 32 for r in rows)
+    # each hash row conserves total mass
+    per_row = {}
+    for r in rows:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["cnt"]
+    assert set(per_row.values()) == {1200}
+
+    # one-sided guarantee: est >= true count for EVERY key
+    truth = df.groupBy("group", "k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sk.cms_lookup(sketch, truth, key_col="k", d=3, w=32, portable=True)
+    bad = est.where(F.col("est") < F.col("true_cnt")).count()
+    assert bad == 0
+
+    # merge(sketch(A), sketch(B)) == sketch(A ∪ B) — CMS is linear
+    a = df.where(F.col("id") < 500)
+    b = df.where(F.col("id") >= 500)
+    merged = sk.cms_merge(
+        sk.cms_table(a, "group", "k", d=3, w=32, portable=True),
+        sk.cms_table(b, "group", "k", d=3, w=32, portable=True),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rows))
+
+    # unseen keys and unseen groups read 0 (left join + coalesce)
+    probe = spark.createDataFrame(
+        [("g", "never-seen-key-xyzzy"), ("h", "key-1")], "group string, k string"
+    )
+    z = {(r["group"], r["k"]): r["est"] for r in
+         sk.cms_lookup(sketch, probe, key_col="k", d=3, w=32, portable=True).collect()}
+    # an unseen key can still collide into non-empty counters, but an
+    # unseen GROUP has no counters at all -> exactly 0
+    assert z[("h", "key-1")] == 0
+    assert z[("g", "never-seen-key-xyzzy")] >= 0
+
+    # xxhash64 production path: same properties, different hash
+    prod = sk.cms_table(df, "group", "k", d=2, w=64)
+    truth2 = sk.cms_lookup(prod, truth, key_col="k", d=2, w=64)
+    assert truth2.where(F.col("est") < F.col("true_cnt")).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sk.cms_table(df, "group", "k", d=0)
+    with _pytest.raises(ValueError):
+        sk.cms_table(df, "group", "k", w=1)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pdf_parser_spark.operators import sketches as sk
+
+    df = spark.range(300).select(
+        F.lit("g").alias("group"),
+        F.concat(F.lit("key-"), F.col("id")).alias("k"),
+    )
+    bloom = sk.bloom_table(df, "group", "k", k=3, m=256, portable=True)
+    # bit table is bounded at |groups| * m regardless of input size
+    n_bits = bloom.count()
+    assert n_bits <= 256
+    assert bloom.where((F.col("pos") < 0) | (F.col("pos") >= 256)).count() == 0
+
+    # NO false negatives: every inserted key must read maybe_member
+    probed = sk.bloom_contains(bloom, df, key_col="k", k=3, m=256, portable=True)
+    assert probed.where(~F.col("maybe_member")).count() == 0
+
+    # merge(bloom(A), bloom(B)) == bloom(A ∪ B) — set union
+    a = df.where(F.col("id") < 150)
+    b = df.where(F.col("id") >= 150)
+    merged = sk.bloom_merge(
+        sk.bloom_table(a, "group", "k", k=3, m=256, portable=True),
+        sk.bloom_table(b, "group", "k", k=3, m=256, portable=True),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, bloom.collect())
+    )
+
+    # an unseen GROUP has no set bits at all -> always False; an absent
+    # key in a seen group is False unless all k positions collide
+    probe = spark.createDataFrame(
+        [("h", "key-1"), ("g", "absent-key-xyzzy-0")],
+        "group string, k string",
+    )
+    z = {
+        (r["group"], r["k"]): r["maybe_member"]
+        for r in sk.bloom_contains(
+            bloom, probe, key_col="k", k=3, m=256, portable=True
+        ).collect()
+    }
+    assert z[("h", "key-1")] is False
+
+    # false-positive rate sanity on the xxhash64 production path: 300
+    # keys in m=4096 / k=3 -> theoretical fpr ~0.05%; 500 absent probes
+    # should flag well under 10
+    prod = sk.bloom_table(df, "group", "k", k=3, m=4096)
+    absent = spark.range(500).select(
+        F.lit("g").alias("group"),
+        F.concat(F.lit("no-such-"), F.col("id")).alias("k"),
+    )
+    fp = (
+        sk.bloom_contains(prod, absent, key_col="k", k=3, m=4096)
+        .where(F.col("maybe_member"))
+        .count()
+    )
+    assert fp < 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sk.bloom_table(df, "group", "k", k=0)
+    with _pytest.raises(ValueError):
+        sk.bloom_table(df, "group", "k", m=1)
+
+
+def test_assign_splits_stable_disjoint_exhaustive(spark):
+    from pdf_parser_spark.operators import mixing as mx
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    frac = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = mx.assign_splits(df, frac, key_col="doc_id", portable=True).cache()
+
+    # exhaustive: every row gets exactly one split; rough proportions
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > 1600 and counts["val"] < 250 and counts["test"] < 250
+
+    # STABLE: assignment is a pure function of the key — a disjoint
+    # re-run over a shuffled/filtered frame agrees row-for-row
+    again = mx.assign_splits(
+        df.orderBy(F.rand(7)).repartition(13), frac, key_col="doc_id", portable=True
+    )
+    diff = (
+        out.alias("a")
+        .join(again.alias("b"), "doc_id")
+        .where(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert diff == 0
+
+    # growing the corpus never reassigns existing keys
+    grown = mx.assign_splits(
+        spark.range(4000).select(F.col("id").alias("doc_id")),
+        frac, key_col="doc_id", portable=True,
+    )
+    moved = (
+        out.alias("a")
+        .join(grown.alias("b"), "doc_id")
+        .where(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert moved == 0
+
+    # xxhash64 production path: same invariants
+    prod = mx.assign_splits(df, frac, key_col="doc_id")
+    assert prod.groupBy().agg(F.count(F.lit(1))).collect()[0][0] == 2000
+    assert prod.select("split").distinct().count() == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mx.assign_splits(df, {}, key_col="doc_id")
+    with _pytest.raises(ValueError):
+        mx.assign_splits(df, {"a": 0.5, "b": 0.4}, key_col="doc_id")
+    with _pytest.raises(ValueError):
+        mx.assign_splits(df, frac, key_col="doc_id", buckets=2)

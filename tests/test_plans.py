@@ -242,3 +242,25 @@ def test_keyword_topk_plan(spark):
     assert "Generate explode" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cms_and_bloom_probe_broadcast(spark):
+    """Sketch probes must broadcast the bounded sketch side and never
+    shuffle-join the (corpus-sized) probe frame; the sketch build is
+    one hashpartitioning exchange with a map-side partial."""
+    for name in ("q83_cms_heavy_hitters", "q84_bloom_membership"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "partial_count" in plan or "partial_min" in plan, name
+
+
+def test_split_assignment_scan_shaped(spark):
+    """Split assignment is one projected CASE column: the only
+    exchange is the reporting agg's; no join, no window, no Python."""
+    plan = plan_of(spark, "q85_split_assignment")
+    assert plan.count("Exchange hashpartitioning") == 1
+    for bad in ("Join", "Window", "BatchEvalPython", "Generate explode"):
+        assert bad not in plan, bad
