@@ -28,12 +28,32 @@ table-level equality). Sketch tables are bounded at |groups| * m rows
 at ANY corpus size, so the merged state is always broadcastable and
 the overwrite is O(sketch), not O(corpus).
 
+Crash safety — the SUM-merged sketches (word_cms, len_hist) are NOT
+idempotent, so "merge the batch again after a crash" silently
+double-counts. Every run is therefore two-phase, keyed by a batch_id:
+
+  stage:  batch sketches + batch urls land under _staging/<batch_id>/
+          first, sealed by a _READY marker (no sketch table touched);
+  apply:  each table merges FROM THE STAGED FRAMES and records the
+          batch_id it last absorbed (snapshot summary, or a
+          _batch_id.json inside the table directory committed by the
+          same atomic rename as the data). Re-applying is a per-table
+          no-op when the recorded id matches — a crash between table
+          commits resumes exactly where it stopped, never re-merging.
+
+The next run (any flags) first completes a sealed pending batch from
+its staged frames — the INPUT is not consulted for recovery — then
+clears staging and profiles new documents. Unsealed staging (crash
+mid-stage) is discarded; no sketch table saw the batch. Plain-mode
+table swaps are also self-healing: the merged state is fully written
+to <table>.tmp (sealed by _COMMIT_READY) before the old directory is
+replaced, and _recover_plain_swaps finishes or discards interrupted
+swaps on the next run.
+
 `--snapshots` commits each sketch table through the snapshot-manifest
 layer (sinks/snapshots.py): every profiling run is one atomic,
 time-travelable overwrite commit per table — `read(spark, tbl, i)`
-gives the corpus statistics as of batch i. Plain mode swaps via a tmp
-directory rename (crash between remove and rename can lose the table;
-the snapshot mode is the atomic one).
+gives the corpus statistics as of batch i.
 
 Sketch parameters are pinned in <outdir>/_profile_meta.json on the
 first run; a resume with different parameters ABORTS (registers built
@@ -106,21 +126,128 @@ def _read_or_none(spark, path: str, snapshots: bool):
     return spark.read.parquet(path) if Path(path).exists() else None
 
 
-def _write_state(spark, df, path: str, snapshots: bool, summary: dict) -> None:
-    """Overwrite-commit the merged sketch state. Snapshot mode is
-    atomic (manifest CAS). Plain mode materializes to a tmp sibling
-    first — the merged plan READS the current table, so an in-place
-    overwrite would corrupt its own input."""
+# -------------------------------------------------------- two-phase commit
+
+
+def _table_batch_id(path: str, snapshots: bool) -> str | None:
+    """The batch_id a table last absorbed — the apply-phase idempotence
+    key. Underscore-prefixed files inside a parquet directory are
+    invisible to Spark readers (Hadoop hidden-file convention)."""
     if snapshots:
         from pdf_parser_spark.sinks import snapshots as sn
 
-        sn.commit(spark, df, path, operation="overwrite", summary=summary)
-        return
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    df.write.mode("error").parquet(tmp)
+        snap = sn.current_snapshot(path)
+        return snap["summary"].get("batch_id") if snap else None
+    marker = Path(path) / "_batch_id.json"
+    if marker.exists():
+        return json.loads(marker.read_text())["batch_id"]
+    return None
+
+
+def _swap_plain(spark, df, path: str, batch_id: str) -> None:
+    """Overwrite a plain-parquet sketch table. The merged plan READS
+    the current table, so the new state is fully materialized to a
+    sibling .tmp (with the batch_id marker INSIDE, so one rename
+    commits data + idempotence key atomically) before the old
+    directory is replaced. _COMMIT_READY seals the tmp: recovery
+    finishes a sealed swap and discards an unsealed one."""
+    tmp = Path(f"{path}.tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    df.write.mode("error").parquet(str(tmp))
+    (tmp / "_batch_id.json").write_text(json.dumps({"batch_id": batch_id}))
+    (tmp / "_COMMIT_READY").write_text("")
     if Path(path).exists():
         shutil.rmtree(path)
-    Path(tmp).rename(path)
+    tmp.rename(path)
+
+
+def _recover_plain_swaps(outdir: Path) -> list[str]:
+    """Finish or discard swaps interrupted between materialize and
+    rename. A sealed tmp is strictly newer than the directory it was
+    about to replace (the writer seals only after the full merged
+    state is on disk), so promoting it is always correct."""
+    healed = []
+    for tmp in sorted(outdir.glob("*.tmp")):
+        final = outdir / tmp.name[: -len(".tmp")]
+        if (tmp / "_COMMIT_READY").exists():
+            if final.exists():
+                shutil.rmtree(final)
+            tmp.rename(final)
+            healed.append(final.name)
+        else:
+            shutil.rmtree(tmp)
+    return healed
+
+
+def _apply_table(
+    spark, staged: str, table: str, merge_fn, batch_id: str, snapshots: bool
+) -> None:
+    """Merge one staged batch sketch into its table — idempotent: a
+    table that already recorded this batch_id is left untouched, so a
+    crash between table commits never double-merges the SUM sketches
+    on re-apply."""
+    if _table_batch_id(table, snapshots) == batch_id:
+        return
+    batch_df = spark.read.parquet(staged)
+    stored = _read_or_none(spark, table, snapshots)
+    merged = merge_fn(stored, batch_df) if stored is not None else batch_df
+    if snapshots:
+        from pdf_parser_spark.sinks import snapshots as sn
+
+        sn.commit(
+            spark, merged, table, operation="overwrite",
+            summary={"job": "profile", "batch_id": batch_id},
+        )
+    else:
+        _swap_plain(spark, merged, table, batch_id)
+
+
+def _apply_seen(spark, staged_urls: str, seen_path: str, batch_id: str, snapshots: bool) -> None:
+    """Append the staged batch's urls to the checkpoint. The anti-join
+    reads seen_urls as a distinct set, so the worst crash outcome here
+    (marker write lost after a plain append) is duplicate url rows —
+    benign, unlike a double sketch merge."""
+    if _table_batch_id(seen_path, snapshots) == batch_id:
+        return
+    urls = spark.read.parquet(staged_urls)
+    if snapshots:
+        from pdf_parser_spark.sinks import snapshots as sn
+
+        sn.commit(
+            spark, urls, seen_path, operation="append",
+            summary={"job": "profile", "batch_id": batch_id},
+        )
+    else:
+        urls.write.mode("append").parquet(seen_path)
+        (Path(seen_path) / "_batch_id.json").write_text(
+            json.dumps({"batch_id": batch_id})
+        )
+
+
+def _apply_pending(spark, out: Path, snapshots: bool) -> str | None:
+    """Complete a sealed staged batch (idempotent per table), then
+    clear staging. Unsealed staging is a crash mid-stage: no sketch
+    table saw the batch, so it is safely discarded."""
+    staging = out / "_staging"
+    if not staging.exists():
+        return None
+    applied = None
+    for batch_dir in sorted(staging.iterdir()):
+        ready = batch_dir / "_READY.json"
+        if not ready.exists():
+            shutil.rmtree(batch_dir)
+            continue
+        batch_id = json.loads(ready.read_text())["batch_id"]
+        for name in _TABLES:
+            _apply_table(
+                spark, str(batch_dir / name), str(out / name),
+                _MERGE[name], batch_id, snapshots,
+            )
+        _apply_seen(spark, str(batch_dir / "urls"), str(out / "seen_urls"), batch_id, snapshots)
+        shutil.rmtree(batch_dir)
+        applied = batch_id
+    return applied
 
 
 def build_sketches(base, params: dict) -> dict:
@@ -163,11 +290,20 @@ def run(
     out = Path(outdir)
     seen_path = str(out / "seen_urls")
 
+    # heal first: interrupted plain swaps, then any sealed pending
+    # batch (from its staged frames — the input is not consulted)
+    healed = [] if snapshots else _recover_plain_swaps(out)
+    recovered = _apply_pending(spark, out, snapshots)
+
     docs = read_documents(spark, input_path)
     n_input = docs.count()
 
     seen = _read_or_none(spark, seen_path, snapshots)
-    if resume and seen is not None:
+    # a recovered batch forces the anti-join even without --resume:
+    # the previous run crashed mid-apply, and its natural re-invocation
+    # (same command line) must not merge the recovered docs a second
+    # time under a fresh batch_id
+    if (resume or recovered) and seen is not None:
         docs = docs.join(seen.select("url").distinct(), "url", "left_anti")
 
     # ONE projection of the batch feeds all four sketches; null text
@@ -184,42 +320,29 @@ def run(
         n_new = base.count()
         t_scan = time.perf_counter()
 
-        table_rows: dict[str, int] = {}
         if n_new > 0:
+            batch_id = uuid.uuid4().hex
+            batch_dir = out / "_staging" / batch_id
+            batch_dir.mkdir(parents=True)
             batch = build_sketches(base, params)
             for name in _TABLES:
-                stored = _read_or_none(spark, str(out / name), snapshots)
-                merged = (
-                    _MERGE[name](stored, batch[name])
-                    if stored is not None
-                    else batch[name]
-                )
-                _write_state(
-                    spark,
-                    merged,
-                    str(out / name),
-                    snapshots,
-                    summary={"job": "profile", "batch_urls": n_new},
-                )
-                table_rows[name] = _read_or_none(
-                    spark, str(out / name), snapshots
-                ).count()
-            if snapshots:
-                from pdf_parser_spark.sinks import snapshots as sn
-
-                sn.commit(
-                    spark,
-                    base.select("url"),
-                    seen_path,
-                    operation="append",
-                    summary={"job": "profile"},
-                )
-            else:
-                base.select("url").write.mode("append").parquet(seen_path)
-        else:
+                batch[name].write.mode("error").parquet(str(batch_dir / name))
+            base.select("url").write.mode("error").parquet(str(batch_dir / "urls"))
+            (batch_dir / "_READY.json").write_text(
+                json.dumps({"batch_id": batch_id, "tables": list(_TABLES)})
+            )
             for name in _TABLES:
-                stored = _read_or_none(spark, str(out / name), snapshots)
-                table_rows[name] = stored.count() if stored is not None else 0
+                _apply_table(
+                    spark, str(batch_dir / name), str(out / name),
+                    _MERGE[name], batch_id, snapshots,
+                )
+            _apply_seen(spark, str(batch_dir / "urls"), seen_path, batch_id, snapshots)
+            shutil.rmtree(batch_dir)
+
+        table_rows: dict[str, int] = {}
+        for name in _TABLES:
+            stored = _read_or_none(spark, str(out / name), snapshots)
+            table_rows[name] = stored.count() if stored is not None else 0
         t_sketch = time.perf_counter()
 
         # headline estimates from the merged state (all bounded reads)
@@ -237,16 +360,17 @@ def run(
                 for r in sk.quantile_from_log2_histogram(hist, 0.5).collect()
             }
 
-        result = {
+        return {
             "input_docs": n_input,
             "newly_profiled": n_new,
+            "recovered_batch": recovered,
+            "healed_swaps": healed,
             "sketch_rows": table_rows,
             "estimates": estimates,
             "wall_sec_scan": round(t_scan - t0, 2),
             "wall_sec_sketch": round(t_sketch - t_scan, 2),
             "wall_sec_total": round(time.perf_counter() - t0, 2),
         }
-        return result
     finally:
         base.unpersist()
 

@@ -63,9 +63,16 @@ def corpus_line_dedup(
     with NULL text yield NULL text_dedup and zero counts.
     """
     key = F.col(key_col)
+    # identity-trim strips \r and \t as well as spaces: CRLF corpora
+    # split on \n leave a trailing \r on every line — under a
+    # space-only trim a blank separator line becomes the countable
+    # 1-char line "\r" present in nearly every document, which the
+    # frequency filter would then classify as corpus-wide boilerplate
+    # and delete, collapsing paragraph structure; and identical
+    # content lines would never match across CRLF and LF documents.
     exploded = (
         df.select(key_col, F.posexplode(_lines(F.col(text_col))).alias("pos", "line"))
-        .withColumn("nline", F.trim(F.col("line")))
+        .withColumn("nline", F.expr("btrim(line, ' \\t\\r')"))
     )
     countable = F.length(F.col("nline")) >= min_line_chars
 

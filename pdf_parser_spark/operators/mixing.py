@@ -142,6 +142,14 @@ def assign_splits(
         acc += splits[name]
         cuts.append((name, int(round(acc * buckets))))
     cuts.append((names[-1], buckets))  # last band absorbs remainder
+    lo = 0
+    for name, hi in cuts:
+        if hi <= lo:  # a fraction under ~half a bucket rounded to a
+            raise ValueError(  # zero-width band — silently empty split
+                f"split {name!r} ({splits[name]}) rounds to an empty "
+                f"bucket band at buckets={buckets}; raise `buckets`"
+            )
+        lo = hi
 
     key = F.col(key_col).cast("string")
     if portable:

@@ -199,10 +199,17 @@ def hll_estimate(registers: DataFrame, p: int = 12, corrected: bool = True) -> D
         F.col("present_scaled")
         + (F.lit(m).cast("long") - F.col("registers_set")) * F.shiftleft(F.lit(1).cast("long"), _RHO_CAP)
     )
-    alpha_num = 0.7213  # alpha_m = 0.7213/(1 + 1.079/m), valid m >= 128
+    # Flajolet et al. 2007 §4: the asymptotic alpha_m = 0.7213/(1 +
+    # 1.079/m) only holds for m >= 128; the small register counts the
+    # table admits (p=4..6) have their own tabulated constants — using
+    # the asymptotic formula there biases every estimate.
+    small_alpha = {16: 0.673, 32: 0.697, 64: 0.709}
+    if m in small_alpha:
+        alpha = F.lit(small_alpha[m])
+    else:
+        alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
     raw = (
-        F.lit(alpha_num)
-        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        alpha
         * F.lit(float(m))
         * F.lit(float(m))
         * F.lit(float(1 << _RHO_CAP))
@@ -296,21 +303,33 @@ def cms_lookup(
     w: int = 1024,
     portable: bool = False,
 ) -> DataFrame:
-    """Point-frequency estimates: for each probe row (must carry a
-    `group` column + key_col), est = MIN over the d counters the key
-    hashes to. The sketch side is broadcast (it is bounded at
-    |groups|*d*w rows by construction), so the lookup is a map-side
-    hash join — no shuffle of the probe frame. Keys the sketch never
-    saw read their counters as 0 via the left join's coalesce."""
-    rc = F.explode(_cms_coords(F.col(key_col), d, w, portable)).alias("rc")
-    keep = [c for c in probes.columns]
-    p = probes.select("*", rc).select(
-        *keep, F.col("rc.row").alias("row"), F.col("rc.col").alias("col")
+    """Point-frequency estimates: one output row per probe row (the
+    probe frame's `group` column + key_col pick the counters), est =
+    MIN over the d counters the key hashes to. Implemented as d
+    chained broadcast left joins — one per hash row, each against the
+    bounded (<= |groups|*d*w rows by construction) sketch side — so
+    the probe frame NEVER shuffles: no explode (rows don't multiply),
+    no groupBy (duplicate probe rows stay distinct rows). Keys the
+    sketch never saw read their counters as 0 via the joins'
+    coalesce."""
+    keep = list(probes.columns)
+    out = probes
+    for i in range(d):
+        if portable:
+            h = portable_hash64(F.col(key_col), seed=i)
+        else:
+            h = F.shiftrightunsigned(F.xxhash64(F.col(key_col), F.lit(i)), 1)
+        side = (
+            sketch.where(F.col("row") == i)
+            .select("group", F.col("col").alias(f"_pos{i}"), F.col("cnt").alias(f"_cnt{i}"))
+        )
+        out = out.withColumn(f"_pos{i}", h % F.lit(w)).join(
+            F.broadcast(side), ["group", f"_pos{i}"], "left"
+        ).drop(f"_pos{i}")
+    est = F.least(
+        *[F.coalesce(F.col(f"_cnt{i}"), F.lit(0).cast("long")) for i in range(d)]
     )
-    joined = p.join(F.broadcast(sketch), ["group", "row", "col"], "left")
-    return joined.groupBy(*keep).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est")
-    )
+    return out.select(*keep, est.alias("est"))
 
 
 def _bloom_positions(key, k: int, m: int, portable: bool):
@@ -381,15 +400,26 @@ def bloom_contains(
     """Membership probe: for each probe row (must carry a `group`
     column + key_col), maybe_member = ALL k bit positions set. The
     bloom side is broadcast (bounded at |groups|*m rows by
-    construction), so the probe is a map-side hash join — the corpus
-    frame never shuffles. One-sided: a key that was inserted ALWAYS
-    reads true (no false negatives); an absent key reads true only if
-    all k of its positions collide with set bits."""
-    pos = F.explode(_bloom_positions(F.col(key_col), k, m, portable)).alias("pos")
+    construction), so the probe is k chained map-side hash joins —
+    one per hash position; the corpus frame never shuffles, never
+    explodes, and duplicate probe rows stay distinct output rows.
+    One-sided: a key that was inserted ALWAYS reads true (no false
+    negatives); an absent key reads true only if all k of its
+    positions collide with set bits."""
     keep = list(probes.columns)
-    p = probes.select("*", pos)
-    hit = bloom.withColumn("_hit", F.lit(1))
-    joined = p.join(F.broadcast(hit), ["group", "pos"], "left")
-    return joined.groupBy(*keep).agg(
-        (F.min(F.coalesce(F.col("_hit"), F.lit(0))) == 1).alias("maybe_member")
-    )
+    out = probes
+    for i in range(k):
+        if portable:
+            h = portable_hash64(F.col(key_col), seed=i)
+        else:
+            h = F.shiftrightunsigned(F.xxhash64(F.col(key_col), F.lit(i)), 1)
+        side = bloom.select(
+            "group", F.col("pos").alias(f"_pos{i}"), F.lit(1).alias(f"_hit{i}")
+        )
+        out = out.withColumn(f"_pos{i}", h % F.lit(m)).join(
+            F.broadcast(side), ["group", f"_pos{i}"], "left"
+        ).drop(f"_pos{i}")
+    member = F.lit(True)
+    for i in range(k):
+        member = member & F.col(f"_hit{i}").isNotNull()
+    return out.select(*keep, member.alias("maybe_member"))

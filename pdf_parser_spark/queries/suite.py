@@ -2684,7 +2684,7 @@ def q71(spark, sf):
       FROM l
     ),
     x AS (SELECT doc_id, pl.pos AS pos, pl.line AS line,
-                 trim(pl.line) AS nline FROM e),
+                 trim(pl.line, ' ' || chr(9) || chr(13)) AS nline FROM e),
     f AS (
       SELECT nline FROM x WHERE length(nline) >= 1
       GROUP BY nline HAVING count(DISTINCT doc_id) > 1

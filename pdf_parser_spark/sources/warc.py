@@ -104,6 +104,11 @@ def _parse_warc_records(data: bytes) -> Iterator[dict]:
         except ValueError:
             yield {"error": "missing/bad Content-Length"}
             return
+        if length < 0:
+            # a negative length would move pos backwards and re-parse
+            # the same bytes forever — terminate, don't loop
+            yield {"error": f"negative Content-Length {length}"}
+            return
         body_start = head_end + 4
         payload = data[body_start : body_start + length]
         if len(payload) < length:
@@ -127,10 +132,15 @@ def _parse_warc_date(s: str | None) -> datetime | None:
     if not s:
         return None
     try:
-        # WARC-Date is ISO-8601 Zulu, e.g. 2024-03-01T12:30:00Z
-        return datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(
-            tzinfo=timezone.utc
-        ).replace(tzinfo=None)
+        # WARC-Date is ISO-8601 Zulu; WARC 1.1 allows fractional
+        # seconds (2024-03-01T12:30:00.123Z). Return an AWARE UTC
+        # datetime: Spark converts an aware datetime to the correct
+        # instant regardless of spark.sql.session.timeZone, whereas a
+        # naive one would be reinterpreted in the session zone and
+        # shift the timestamp on any non-UTC deployment.
+        return datetime.fromisoformat(s.replace("Z", "+00:00")).astimezone(
+            timezone.utc
+        )
     except ValueError:
         return None
 
@@ -184,12 +194,23 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def split(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # yield per chunk of records, NOT per archive: a ~1 GB .gz
+        # member decompresses to several GB of HTML — holding every
+        # record of the file as Python dicts (plus a pandas copy)
+        # would OOM the executor on exactly the file size that makes
+        # a good task quantum. 256 records ≈ tens of MB in flight.
         cols = [f.name for f in WARC_SCHEMA.fields]
+        chunk = 256
         for batch in batches:
-            rows = []
+            rows: list[dict] = []
             for content in batch["content"]:
-                rows.extend(iter_warc_file(bytes(content)))
-            yield pd.DataFrame(rows, columns=cols)
+                for rec in iter_warc_file(bytes(content)):
+                    rows.append(rec)
+                    if len(rows) >= chunk:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(split, schema=WARC_SCHEMA)
 

@@ -127,3 +127,29 @@ def test_decontaminate_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
     plan = cd.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_corpus_line_dedup_crlf(spark):
+    """CRLF corpora: blank separator lines must never become countable
+    '\\r' lines (which would be classified corpus-wide boilerplate and
+    stripped from every doc), and identical content lines must match
+    across CRLF and LF documents."""
+    import pyspark.sql.functions as F
+
+    from pdf_parser_spark.operators.corpus_dedup import corpus_line_dedup
+
+    banner = "(c) MegaCorp all rights reserved"
+    rows = [(i, f"unique line {i}\r\n\r\n{banner}\r") for i in range(4)]
+    rows.append((99, f"unique line 99\n\n{banner}"))  # LF twin
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_line_dedup(df, max_doc_freq=1).cache()
+
+    # the banner is corpus-wide (5 docs > 1) in BOTH ending styles
+    assert out.where(F.col("n_lines_removed") != 1).count() == 0
+    texts = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
+    assert banner not in texts[99]
+    assert banner not in texts[0]
+    # blank lines survive — paragraph structure intact, CRLF or LF
+    # (split on \n keeps the bare "\r" blank line; join restores it)
+    assert texts[0] == "unique line 0\r\n\r"
+    assert texts[99] == "unique line 99\n"

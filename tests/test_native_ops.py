@@ -664,3 +664,44 @@ def test_assign_splits_stable_disjoint_exhaustive(spark):
         mx.assign_splits(df, {"a": 0.5, "b": 0.4}, key_col="doc_id")
     with _pytest.raises(ValueError):
         mx.assign_splits(df, frac, key_col="doc_id", buckets=2)
+
+
+def test_assign_splits_zero_width_band_raises(spark):
+    from pdf_parser_spark.operators import mixing as mx
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    import pytest as _pytest
+
+    # 0.00005 of 10000 buckets rounds to a zero-width band — must
+    # raise, not silently produce an empty named split
+    with _pytest.raises(ValueError, match="empty bucket band"):
+        mx.assign_splits(df, {"train": 0.99995, "tiny": 0.00005}, key_col="doc_id")
+    # same fractions with enough buckets are fine
+    out = mx.assign_splits(
+        df, {"train": 0.99995, "tiny": 0.00005}, key_col="doc_id", buckets=100000
+    )
+    assert out.count() == 10
+
+
+def test_sketch_lookups_preserve_duplicate_probe_rows(spark):
+    """cms_lookup / bloom_contains are per-probe-row maps now (chained
+    broadcast joins): duplicate probe rows stay distinct output rows
+    instead of collapsing through a groupBy."""
+    from pdf_parser_spark.operators import sketches as sk
+
+    df = spark.range(100).select(
+        F.lit("g").alias("group"),
+        F.concat(F.lit("k-"), F.col("id") % 7).alias("k"),
+    )
+    probes = spark.createDataFrame(
+        [("g", "k-1"), ("g", "k-1"), ("g", "k-2")], "group string, k string"
+    )
+    cms = sk.cms_table(df, "group", "k", d=3, w=64, portable=True)
+    got = sk.cms_lookup(cms, probes, key_col="k", d=3, w=64, portable=True)
+    assert got.count() == 3
+    assert got.where(F.col("k") == "k-1").count() == 2
+
+    bloom = sk.bloom_table(df, "group", "k", k=3, m=128, portable=True)
+    got_b = sk.bloom_contains(bloom, probes, key_col="k", k=3, m=128, portable=True)
+    assert got_b.count() == 3
+    assert got_b.where(~F.col("maybe_member")).count() == 0

@@ -250,11 +250,16 @@ def test_cms_and_bloom_probe_broadcast(spark):
     one hashpartitioning exchange with a map-side partial."""
     for name in ("q83_cms_heavy_hitters", "q84_bloom_membership"):
         plan = plan_of(spark, name)
-        assert "BroadcastHashJoin" in plan, name
+        # the d/k chained per-seed probe joins, all broadcast
+        assert plan.count("BroadcastHashJoin") >= 3, name
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
-        assert "partial_count" in plan or "partial_min" in plan, name
+        assert "partial_count" in plan, name
+        # exchanges belong to sketch builds / reporting aggs only — the
+        # probe frame itself never shuffles (no groupBy after the joins
+        # beyond the query's own reporting aggregate)
+        assert plan.count("Exchange hashpartitioning") <= 5, name
 
 
 def test_split_assignment_scan_shaped(spark):

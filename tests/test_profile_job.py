@@ -143,3 +143,102 @@ def test_profile_param_mismatch_aborts(spark, tmp_path):
 def test_profile_rejects_remote_uri(spark, tmp_path):
     with pytest.raises(ValueError, match="local filesystem"):
         run_profile("whatever", "s3://bucket/profile", spark=spark)
+
+
+def test_profile_crash_between_table_applies_recovers(spark, tmp_path, monkeypatch):
+    """The reviewer scenario: a crash after SOME sketch tables merged
+    a batch but before seen_urls recorded it must NOT double-count the
+    SUM sketches on the next run — recovery re-applies per-table,
+    keyed by batch_id, from the staged frames."""
+    import jobs.corpus_profile as cp
+
+    a = str(tmp_path / "a.parquet")
+    ab = str(tmp_path / "ab.parquet")
+    write_documents(synthetic_documents(spark, 24, seed=42), a)
+    write_documents(synthetic_documents(spark, 40, seed=42), ab)
+
+    out = str(tmp_path / "prof")
+    run_profile(a, out, spark=spark)
+
+    # crash after 2 of the 4 table applies of batch B
+    real_apply = cp._apply_table
+    calls = {"n": 0}
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated crash mid-apply")
+        return real_apply(*args, **kw)
+
+    monkeypatch.setattr(cp, "_apply_table", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_profile(ab, out, spark=spark, resume=True)
+    monkeypatch.setattr(cp, "_apply_table", real_apply)
+
+    # staging survived the crash, sealed
+    staged = list((Path(out) / "_staging").iterdir())
+    assert len(staged) == 1 and (staged[0] / "_READY.json").exists()
+
+    # re-run WITHOUT --resume (the natural retry): recovery completes
+    # the pending batch and the recovered urls are still anti-joined
+    r = run_profile(ab, out, spark=spark)
+    assert r["recovered_batch"] is not None
+    assert r["newly_profiled"] == 0
+    assert not (Path(out) / "_staging").exists() or not list(
+        (Path(out) / "_staging").iterdir()
+    )
+
+    fresh = str(tmp_path / "fresh")
+    run_profile(ab, fresh, spark=spark)
+    for name in _TABLES:
+        assert _sorted_rows(_table(spark, out, name)) == _sorted_rows(
+            _table(spark, fresh, name)
+        ), f"double-merge after crash for {name}"
+
+
+def test_profile_unsealed_staging_discarded(spark, tmp_path):
+    """Crash mid-stage (no _READY marker): no sketch table saw the
+    batch, so the orphan staging is dropped and profiling proceeds."""
+    corpus = str(tmp_path / "docs.parquet")
+    write_documents(synthetic_documents(spark, 12, seed=42), corpus)
+    out = tmp_path / "prof"
+    orphan = out / "_staging" / "deadbeef"
+    orphan.mkdir(parents=True)
+    (orphan / "partial").write_text("junk")
+
+    r = run_profile(corpus, str(out), spark=spark)
+    assert r["recovered_batch"] is None
+    assert r["newly_profiled"] == 12
+    assert not orphan.exists()
+
+
+def test_recover_plain_swaps(tmp_path):
+    """Filesystem-only healing of interrupted table swaps: a sealed
+    .tmp replaces its table (it is strictly newer); an unsealed .tmp
+    is a partial write and is discarded."""
+    from jobs.corpus_profile import _recover_plain_swaps
+
+    out = tmp_path / "prof"
+    # sealed tmp, table missing (crash between rmtree and rename)
+    sealed = out / "word_cms.tmp"
+    sealed.mkdir(parents=True)
+    (sealed / "part-0.parquet").write_text("data")
+    (sealed / "_COMMIT_READY").write_text("")
+    # sealed tmp beside a (stale) table directory
+    sealed2 = out / "len_hist.tmp"
+    sealed2.mkdir()
+    (sealed2 / "part-0.parquet").write_text("new")
+    (sealed2 / "_COMMIT_READY").write_text("")
+    stale = out / "len_hist"
+    stale.mkdir()
+    (stale / "part-0.parquet").write_text("old")
+    # unsealed tmp (crash mid-write)
+    unsealed = out / "fp_bloom.tmp"
+    unsealed.mkdir()
+    (unsealed / "part-0.parquet").write_text("partial")
+
+    healed = _recover_plain_swaps(out)
+    assert sorted(healed) == ["len_hist", "word_cms"]
+    assert (out / "word_cms" / "part-0.parquet").read_text() == "data"
+    assert (out / "len_hist" / "part-0.parquet").read_text() == "new"
+    assert not unsealed.exists() and not sealed.exists() and not sealed2.exists()

@@ -226,3 +226,32 @@ def test_wet_export_and_readback(spark, tmp_path):
         assert got[r["url"]]["text"] == (r["text"] or "")
         assert got[r["url"]]["html"] is None
         assert got[r["url"]]["warc_ts"] == r["warc_ts"]
+
+
+def test_warc_negative_content_length_terminates():
+    """A negative Content-Length must terminate parsing with an error
+    row — not move the cursor backwards and yield the same record
+    forever (the infinite-loop/OOM a corrupt archive could trigger)."""
+    from pdf_parser_spark.sources.warc import iter_warc_file
+
+    head = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -54\r\n\r\n"
+    rows = list(iter_warc_file(head + b"body bytes here"))
+    assert len(rows) == 1
+    assert "negative Content-Length" in rows[0]["status"]
+
+
+def test_warc_date_fractional_and_utc_instant():
+    """WARC 1.1 fractional-second dates parse, and the result is an
+    AWARE UTC datetime — Spark stores the correct instant regardless
+    of spark.sql.session.timeZone (a naive datetime would be
+    reinterpreted in the session zone)."""
+    from datetime import timezone
+
+    from pdf_parser_spark.sources.warc import _parse_warc_date
+
+    d = _parse_warc_date("2024-03-01T12:30:00.123Z")
+    assert d is not None and d.microsecond == 123000
+    assert d.tzinfo is not None and d.utcoffset().total_seconds() == 0
+    plain = _parse_warc_date("2024-03-01T12:30:00Z")
+    assert plain is not None and plain.tzinfo == timezone.utc
+    assert _parse_warc_date("not a date") is None
