@@ -313,6 +313,37 @@ def main() -> None:
 
     leg("sweepline_open_counts", sweep_leg)
 
+    # --- incremental corpus profiling (mergeable-sketch job) ---------
+    def profile_leg():
+        import shutil
+
+        from jobs.corpus_profile import run as run_profile
+
+        sub = f"/tmp/bigscale_profile_sub_{args.docs}.parquet"
+        if not Path(sub).exists():
+            docs.limit(int(args.docs * 0.9)).write.mode("overwrite").parquet(sub)
+        inc_dir = f"/tmp/bigscale_profile_inc_{args.docs}"
+        full_dir = f"/tmp/bigscale_profile_full_{args.docs}"
+        shutil.rmtree(inc_dir, ignore_errors=True)
+        shutil.rmtree(full_dir, ignore_errors=True)
+        r_base = run_profile(sub, inc_dir, spark=spark)
+        r_inc = run_profile(corpus, inc_dir, spark=spark, resume=True)
+        r_full = run_profile(corpus, full_dir, spark=spark)
+        results["legs"].setdefault("corpus_profile", {}).update(
+            {
+                # the headline: a 10% batch costs a fraction of the
+                # full rebuild — incremental cost ∝ batch, not corpus
+                "full_rebuild_sec": r_full["wall_sec_total"],
+                "base_90pct_sec": r_base["wall_sec_total"],
+                "incremental_10pct_sec": r_inc["wall_sec_total"],
+                "incremental_docs": r_inc["newly_profiled"],
+                "sketch_rows": r_full["sketch_rows"],
+            }
+        )
+        return r_full["newly_profiled"]
+
+    leg("corpus_profile", profile_leg)
+
     # --- webtext hygiene chain (scan-shaped) -------------------------
     def webtext():
         flagged = wf.pii_redact(wf.line_dup_stats(wf.gopher_quality_flags(docs)))
