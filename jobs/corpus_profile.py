@@ -154,7 +154,9 @@ def _swap_plain(spark, df, path: str, batch_id: str) -> None:
     tmp = Path(f"{path}.tmp")
     if tmp.exists():
         shutil.rmtree(tmp)
-    df.write.mode("error").parquet(str(tmp))
+    # sketch tables are bounded at |groups|*m rows by construction —
+    # one output file, not shuffle.partitions' worth of tiny tasks
+    df.coalesce(1).write.mode("error").parquet(str(tmp))
     (tmp / "_batch_id.json").write_text(json.dumps({"batch_id": batch_id}))
     (tmp / "_COMMIT_READY").write_text("")
     if Path(path).exists():
@@ -196,7 +198,7 @@ def _apply_table(
         from pdf_parser_spark.sinks import snapshots as sn
 
         sn.commit(
-            spark, merged, table, operation="overwrite",
+            spark, merged.coalesce(1), table, operation="overwrite",
             summary={"job": "profile", "batch_id": batch_id},
         )
     else:
@@ -326,8 +328,12 @@ def run(
             batch_dir.mkdir(parents=True)
             batch = build_sketches(base, params)
             for name in _TABLES:
-                batch[name].write.mode("error").parquet(str(batch_dir / name))
-            base.select("url").write.mode("error").parquet(str(batch_dir / "urls"))
+                batch[name].coalesce(1).write.mode("error").parquet(
+                    str(batch_dir / name)
+                )
+            base.select("url").coalesce(8).write.mode("error").parquet(
+                str(batch_dir / "urls")
+            )
             (batch_dir / "_READY.json").write_text(
                 json.dumps({"batch_id": batch_id, "tables": list(_TABLES)})
             )

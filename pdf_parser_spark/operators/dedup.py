@@ -758,3 +758,89 @@ def dedup_keep_canonical(
         F.col("node").alias(key_col)
     )
     return df.join(losers, key_col, "left_anti")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    cents: "list[list[float]]",
+    threshold: float = 0.95,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-
+    prune semantic deduplication over an embedding column. Vectors are
+    assigned to their nearest coarse centroid (the IVF dot-product
+    identity — argmin-invariant and oracle-replayable, same scoring
+    q66 proved bit-equal), then pairwise cosine runs ONLY within a
+    cluster; a vector whose cosine to a lower-key cluster-mate meets
+    the threshold is a semantic duplicate. Output: one row per LOSER —
+    (key, list_id, dup_of, cosine) where dup_of is the smallest
+    similar lower key (deterministic min-struct resolution).
+
+    Complements the dedup ladder: exact (hash), MinHash/SimHash
+    (lexical near-dup), embedding-LSH (cosine near-dup by random
+    projection) — SemDeDup prunes PARAPHRASES that share no surface
+    form, which LSH-on-shingles can never pair.
+
+    Scale: the self-join is per-cluster — cost Σ|c_i|², bounded by the
+    quantizer's granularity, and the join shuffles on list_id only
+    (train k ∝ corpus size on a sample; at 10^12 rows list_id is the
+    storage partition key, so the pairing is partition-local).
+    `max_cluster_size` is the hot-cluster guard (the LSH hot-bucket
+    cap's sibling): clusters larger than the cap are EXCLUDED from
+    pairing entirely — deterministic and honest (their members are
+    reported by the caller via the excluded-clusters frame of
+    `semantic_dedup_excluded`), never a silent partial pairing.
+    """
+    from .similarity import _dot, _norm, ivf_assign_dot
+
+    assigned = ivf_assign_dot(emb, cents, vec_col)
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("_n"))
+        keep = sizes.where(F.col("_n") <= max_cluster_size).select("list_id")
+        assigned = assigned.join(F.broadcast(keep), "list_id")
+    a = assigned.select(
+        F.col("list_id"), F.col(key_col).alias("_ka"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col("list_id"), F.col(key_col).alias("_kb"), F.col(vec_col).alias("_vb")
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    sims = (
+        a.join(b, "list_id")
+        .where(F.col("_ka") < F.col("_kb"))
+        .withColumn("_cos", cos)
+        .where(F.col("_cos") >= F.lit(float(threshold)))
+    )
+    return (
+        sims.groupBy("list_id", "_kb")
+        .agg(F.min(F.struct(F.col("_ka"), F.col("_cos"))).alias("_s"))
+        .select(
+            F.col("_kb").alias(key_col),
+            "list_id",
+            F.col("_s._ka").alias("dup_of"),
+            F.col("_s._cos").alias("cosine"),
+        )
+    )
+
+
+def semantic_dedup_excluded(
+    emb: DataFrame,
+    cents: "list[list[float]]",
+    max_cluster_size: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The clusters semantic_dedup's hot-cluster guard skipped:
+    (list_id, n_members) for every cluster over the cap — the
+    accounting frame that makes the cap auditable instead of silent."""
+    from .similarity import ivf_assign_dot
+
+    return (
+        ivf_assign_dot(emb, cents, vec_col)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > max_cluster_size)
+    )

@@ -3423,6 +3423,71 @@ def q85(spark, sf):
     )
 
 
+def _q86_oracle() -> str:
+    cl = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in _IVF_CENTS]
+    c2 = [repr(_py_dot(c, c)) for c in _IVF_CENTS]
+    scores = ", ".join(
+        f"-2.0 * list_dot_product(v, {cl[j]}) + {c2[j]} AS s{j}" for j in range(4)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+scored AS (SELECT vec_id, v, {scores} FROM base),
+assigned AS (
+  SELECT vec_id, v,
+         CASE WHEN s0 <= s1 AND s0 <= s2 AND s0 <= s3 THEN 0
+              WHEN s1 <= s2 AND s1 <= s3 THEN 1
+              WHEN s2 <= s3 THEN 2 ELSE 3 END AS list_id
+  FROM scored
+),
+sims AS (
+  SELECT a.list_id, a.vec_id AS ka, b.vec_id AS kb,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cos_raw
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.35
+),
+r AS (
+  SELECT list_id, ka, kb, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY kb ORDER BY ka) AS rn
+  FROM sims
+)
+SELECT kb AS vec_id, list_id, ka AS dup_of, ROUND(cos_raw, 4) + 0.0 AS cosine
+FROM r WHERE rn = 1
+"""
+
+
+@register("q86_semantic_dedup", _q86_oracle())
+def q86(spark, sf):
+    """SemDeDup (Abbas et al. 2023) — cluster-then-prune semantic
+    dedup: assign every embedding to its nearest fixed coarse centroid
+    (the q66 dot-product identity, bit-replayable), pairwise cosine
+    ONLY within a cluster, and flag the higher key of every pair at
+    cosine >= 0.35 (calibrated to the driver corpus's similarity
+    range, like q32's 0.3) with its smallest similar lower key
+    (min-struct ==
+    the oracle's ROW_NUMBER-by-ka resolution). Complements the dedup
+    ladder: catches paraphrase-level duplicates that share no surface
+    n-grams, which MinHash/SimHash can never pair. The self-join
+    shuffles on list_id only; at 10^12 rows list_id is the storage
+    partition key and the pairing is partition-local."""
+    e = _t(spark, sf, "embeddings")
+    out = dedup.semantic_dedup(
+        e, _IVF_CENTS, threshold=0.35, key_col="vec_id", vec_col="embedding"
+    )
+    return out.select(
+        "vec_id",
+        "list_id",
+        "dup_of",
+        (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================
@@ -3472,11 +3537,13 @@ _DRIVER_WINDOW: list[str] = [
     "q83_cms_heavy_hitters",
     "q84_bloom_membership",
     "q85_split_assignment",
-    # regression-prone / value-dense repeats (18). The 15 legs rotated
-    # out here (q01-q12, q23, q26, q36, q39) each carry 2-3 rounds of
-    # green driver rows and are the least graft-aligned of the suite
-    # (q26's blocked Jaccard is superseded by the minhash/simhash
-    # legs); the extraction/dedup/webtext tier stays driver-attested.
+    "q86_semantic_dedup",
+    # regression-prone / value-dense repeats (17). The 16 legs rotated
+    # out here (q01-q12, q23, q26, q28, q36, q39) each carry 2-3
+    # rounds of green driver rows and are the least graft-aligned of
+    # the suite (q26's blocked Jaccard is superseded by the
+    # minhash/simhash legs, q28 is a plain agg over q27's features);
+    # the extraction/dedup/webtext tier stays driver-attested.
     "q14_toc_parse",
     "q15_toc_parent_repair",
     "q16_toc_sort_rank",
@@ -3487,7 +3554,6 @@ _DRIVER_WINDOW: list[str] = [
     "q21_validation_counts",
     "q25_exact_duplicates",
     "q27_text_features",
-    "q28_quality_summary",
     "q32_embedding_near_dups",
     "q45_minhash_portable",
     "q46_ann_topk_portable",

@@ -705,3 +705,36 @@ def test_sketch_lookups_preserve_duplicate_probe_rows(spark):
     got_b = sk.bloom_contains(bloom, probes, key_col="k", k=3, m=128, portable=True)
     assert got_b.count() == 3
     assert got_b.where(~F.col("maybe_member")).count() == 0
+
+
+def test_semantic_dedup_cluster_prune(spark):
+    from pdf_parser_spark.operators import dedup as dd
+
+    # two tight paraphrase pairs near different centroids + singletons
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [10.0, 0.1, 0.0, 0.0]),   # cluster 0
+        (2, [10.0, 0.11, 0.0, 0.0]),  # ~dup of 1 (same cluster)
+        (3, [0.1, 9.0, 0.0, 0.0]),    # cluster 1
+        (4, [0.1, 9.1, 0.0, 0.0]),    # ~dup of 3
+        (5, [5.0, 0.0, 8.0, 0.0]),    # cluster 0, dissimilar
+        (6, [9.9, 0.12, 0.0, 0.0]),   # ~dup of 1 AND 2 -> dup_of = 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           dd.semantic_dedup(emb, cents, threshold=0.99).collect()}
+
+    # losers are the higher keys; dup_of is the SMALLEST similar mate
+    assert set(out) == {2, 4, 6}
+    assert out[2]["dup_of"] == 1 and out[6]["dup_of"] == 1
+    assert out[4]["dup_of"] == 3
+    # cross-cluster pairs are never compared; dissimilar survives
+    assert 5 not in out and 3 not in out and 1 not in out
+    assert all(r["cosine"] >= 0.99 for r in out.values())
+
+    # hot-cluster guard: cap below cluster-0's size excludes it whole
+    capped = dd.semantic_dedup(emb, cents, threshold=0.99, max_cluster_size=2)
+    got = {r["vec_id"] for r in capped.collect()}
+    assert got == {4}  # only cluster 1 (size 2) was paired
+    excl = dd.semantic_dedup_excluded(emb, cents, max_cluster_size=2).collect()
+    assert len(excl) == 1 and excl[0]["n_members"] == 4
