@@ -800,19 +800,24 @@ def semantic_dedup(
         sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("_n"))
         keep = sizes.where(F.col("_n") <= max_cluster_size).select("list_id")
         assigned = assigned.join(F.broadcast(keep), "list_id")
-    a = assigned.select(
-        F.col("list_id"), F.col(key_col).alias("_ka"), F.col(vec_col).alias("_va")
+    # normalize each vector ONCE per row (norm hoisted to a projected
+    # column — never inside the transform lambda, the O(n²) HOF trap):
+    # cosine then costs one fold per PAIR instead of three. The
+    # element-wise x/||v|| then Σ products is IEEE-replayable in the
+    # oracle (q86 mirrors the exact expression order).
+    normed = assigned.withColumn("_nrm", _norm(F.col(vec_col))).withColumn(
+        "_vn", F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm"))
     )
-    b = assigned.select(
-        F.col("list_id"), F.col(key_col).alias("_kb"), F.col(vec_col).alias("_vb")
+    a = normed.select(
+        F.col("list_id"), F.col(key_col).alias("_ka"), F.col("_vn").alias("_va")
     )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (
-        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    b = normed.select(
+        F.col("list_id"), F.col(key_col).alias("_kb"), F.col("_vn").alias("_vb")
     )
     sims = (
         a.join(b, "list_id")
         .where(F.col("_ka") < F.col("_kb"))
-        .withColumn("_cos", cos)
+        .withColumn("_cos", _dot(F.col("_va"), F.col("_vb")))
         .where(F.col("_cos") >= F.lit(float(threshold)))
     )
     return (

@@ -3441,16 +3441,17 @@ assigned AS (
               WHEN s2 <= s3 THEN 2 ELSE 3 END AS list_id
   FROM scored
 ),
+normed AS (
+  SELECT vec_id, list_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+  FROM assigned
+),
 sims AS (
   SELECT a.list_id, a.vec_id AS ka, b.vec_id AS kb,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-           AS cos_raw
-  FROM assigned a JOIN assigned b
+         list_dot_product(a.vn, b.vn) AS cos_raw
+  FROM normed a JOIN normed b
     ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-  WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-          >= 0.35
+  WHERE list_dot_product(a.vn, b.vn) >= 0.35
 ),
 r AS (
   SELECT list_id, ka, kb, cos_raw,
