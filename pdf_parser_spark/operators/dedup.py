@@ -805,8 +805,19 @@ def semantic_dedup(
     # cosine then costs one fold per PAIR instead of three. The
     # element-wise x/||v|| then Σ products is IEEE-replayable in the
     # oracle (q86 mirrors the exact expression order).
-    normed = assigned.withColumn("_nrm", _norm(F.col(vec_col))).withColumn(
-        "_vn", F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm"))
+    #
+    # Zero-norm guard (ADVICE r4, high): an all-zero embedding (empty
+    # doc / failed encode) has no direction, so cosine is undefined —
+    # under ANSI the division crashes the job, and with ANSI off the
+    # NaN cosine compares >= threshold (NaN-is-largest), silently
+    # marking real documents as duplicates of the zero vector. Exclude
+    # zero-norm rows from pairing, same rule as embedding_near_dups_lsh.
+    normed = (
+        assigned.withColumn("_nrm", _norm(F.col(vec_col)))
+        .where(F.col("_nrm") > 0)
+        .withColumn(
+            "_vn", F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm"))
+        )
     )
     a = normed.select(
         F.col("list_id"), F.col(key_col).alias("_ka"), F.col("_vn").alias("_va")

@@ -3442,9 +3442,12 @@ assigned AS (
   FROM scored
 ),
 normed AS (
+  -- zero-norm vectors have no direction: excluded from pairing
+  -- (mirrors semantic_dedup's _nrm > 0 guard)
   SELECT vec_id, list_id,
          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
   FROM assigned
+  WHERE sqrt(list_dot_product(v, v)) > 0
 ),
 sims AS (
   SELECT a.list_id, a.vec_id AS ka, b.vec_id AS kb,

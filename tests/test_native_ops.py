@@ -738,3 +738,26 @@ def test_semantic_dedup_cluster_prune(spark):
     assert got == {4}  # only cluster 1 (size 2) was paired
     excl = dd.semantic_dedup_excluded(emb, cents, max_cluster_size=2).collect()
     assert len(excl) == 1 and excl[0]["n_members"] == 4
+
+
+def test_semantic_dedup_zero_norm_vector(spark):
+    """ADVICE r4 (high): an all-zero embedding (empty doc / failed
+    encode) must neither crash the job under ANSI (DIVIDE_BY_ZERO) nor
+    pair with anything via NaN-is-largest — it is excluded from
+    pairing entirely, like embedding_near_dups_lsh's nrm > 0 gate."""
+    from pdf_parser_spark.operators import dedup as dd
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),    # zero vector: lowest key so a
+        (1, [10.0, 0.1, 0.0, 0.0]),   # NaN-dup would claim ALL rows
+        (2, [10.0, 0.11, 0.0, 0.0]),  # ~dup of 1
+        (3, [0.0, 0.0, 0.0, 0.0]),    # second zero vector, cluster 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           dd.semantic_dedup(emb, cents, threshold=0.99).collect()}
+    # the only pair is (1,2); neither zero vector appears on either side
+    assert set(out) == {2}
+    assert out[2]["dup_of"] == 1
+    assert all(r["cosine"] == r["cosine"] for r in out.values())  # no NaN
