@@ -3519,6 +3519,115 @@ def q87(spark, sf):
     )
 
 
+_Q88_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 1 AS VARCHAR) AS s1,
+         CAST(doc_id % 37 + 2 AS VARCHAR) AS pa,
+         CAST(doc_id % 31 + 3 AS VARCHAR) AS m1,
+         CAST(doc_id % 7 AS VARCHAR) AS w
+  FROM documents
+), k AS (SELECT UNNEST([0, 1, 2, 3]) AS kind)
+SELECT doc_id AS url, kind,
+  CASE kind WHEN 0 THEN s1 || ' alpha quality'
+            WHEN 1 THEN '4.2 deep title ' || w
+            WHEN 2 THEN 'Introduction'
+            ELSE '7 mixed content' END AS section_path,
+  CASE kind WHEN 0 THEN s1 WHEN 1 THEN '4.2' WHEN 2 THEN '' ELSE '7' END
+    AS section_id,
+  CASE kind WHEN 0 THEN 'alpha quality' WHEN 1 THEN 'deep title ' || w
+            WHEN 2 THEN 'Introduction' ELSE 'mixed content' END AS title,
+  CASE kind WHEN 0 THEN '1,' || pa WHEN 1 THEN '2,' || m1
+            WHEN 2 THEN '' ELSE '3,4' END AS page_range,
+  CASE kind WHEN 0 THEN 'c' WHEN 1 THEN 'body' WHEN 2 THEN '' ELSE 'x' END
+    AS content,
+  CASE kind WHEN 0 THEN '3-1' WHEN 1 THEN '3-2|A-4' WHEN 2 THEN '' ELSE '9-9' END
+    AS tables_csv,
+  CASE kind WHEN 0 THEN '1-2' WHEN 1 THEN '1-3' ELSE '' END AS figures_csv
+FROM d CROSS JOIN k
+"""
+
+
+@register("q88_legacy_chunk_coercion", _Q88_ORACLE)
+def q88(spark, sf):
+    """S5/E7 legacy-format coercion through the DISTRIBUTED surface
+    (VERDICT r4 missing #1 — the one §2 dataflow family that never had
+    a driver oracle row): a mixed JSONL stream of four record shapes —
+    modern (pydantic-shaped, dict captions: passthrough), export
+    (`start_heading` split on first space, [a,b] page_range list
+    stringified, caption ids re-extracted from strings with the
+    validator grammar), minimal legacy (no space in section_path →
+    empty section_id, title falls back to the path), and a
+    modern-LOOKING record whose string captions fail the pydantic gate
+    (its own title field is DISCARDED and re-derived from
+    section_path, the reference's try/except fallback semantics,
+    validate.py:204-258). Spark side runs the real core
+    coerce_chunk_record inside Arrow-batched mapInPandas; the oracle
+    replays the coercion's contract on the same deterministic fixture
+    family."""
+    from ..plans.session import ship_package
+
+    ship_package(spark)
+    d = _t(spark, sf, "documents")
+    doc = F.col("doc_id")
+    s1 = (doc % 9 + 1).cast("string")
+    pa = (doc % 37 + 2).cast("string")
+    m1 = doc % 31 + 3
+    w = (doc % 7).cast("string")
+    modern = F.to_json(
+        F.struct(
+            F.concat(s1, F.lit(" alpha quality")).alias("section_path"),
+            s1.alias("section_id"),
+            F.lit("alpha quality").alias("title"),
+            F.concat(F.lit("1,"), pa).alias("page_range"),
+            F.lit("c").alias("content"),
+            F.array(F.struct(F.lit("3-1").alias("id"))).alias("tables"),
+            F.array(F.struct(F.lit("1-2").alias("id"))).alias("figures"),
+        )
+    )
+    export = F.to_json(
+        F.struct(
+            F.concat(F.lit("4.2 deep title "), w).alias("start_heading"),
+            F.array(F.lit(2), m1.cast("int")).alias("page_range"),
+            F.lit("body").alias("content"),
+            F.array(
+                F.lit("Table 3-2. Foo"), F.lit("see table A-4 for details")
+            ).alias("tables"),
+            F.array(F.lit("Figure 1-3: Bar"), F.lit("no id here")).alias("figures"),
+        )
+    )
+    minimal = F.to_json(
+        F.struct(F.lit("Introduction").alias("section_path"), F.lit("").alias("content"))
+    )
+    fallback = F.to_json(
+        F.struct(
+            F.lit("7 mixed content").alias("section_path"),
+            F.lit("9").alias("section_id"),
+            F.lit("SHOULD BE IGNORED").alias("title"),
+            F.lit("3,4").alias("page_range"),
+            F.lit("x").alias("content"),
+            F.array(F.lit("Table 9-9: x")).alias("tables"),
+            F.array(F.lit("nothing here")).alias("figures"),
+        )
+    )
+    lines = d.select(
+        doc.alias("url"),
+        F.posexplode(F.array(modern, export, minimal, fallback)).alias("kind", "value"),
+    )
+    out = jl.coerce_chunks_column(lines, "value", keep=["url", "kind"])
+    return out.select(
+        "url",
+        "kind",
+        "section_path",
+        "section_id",
+        "title",
+        "page_range",
+        "content",
+        F.array_join("tables", "|").alias("tables_csv"),
+        F.array_join("figures", "|").alias("figures_csv"),
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 4)
 # =====================================================================

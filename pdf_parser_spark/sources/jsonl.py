@@ -87,3 +87,60 @@ def read_toc_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
 
 def read_chunks_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     return split_corrupt(read_jsonl(spark, path, CHUNK_SCHEMA))
+
+
+def coerce_chunks_column(
+    df: DataFrame, col: str = "value", keep: list[str] | None = None
+) -> DataFrame:
+    """Legacy/export chunk-record coercion over a raw-JSON string
+    column, DISTRIBUTED (SURVEY S5/E7; reference validate.py:204-258).
+
+    Each value is parsed and run through the byte-parity core
+    `coerce_chunk_record`: modern records (pydantic-shaped — string
+    page_range, dict captions) pass through; export records split
+    `start_heading`/`section_path` on the first space, stringify the
+    two-element page_range list, and re-extract caption ids with the
+    validator grammar (`Table 3-2. Foo` → `3-2`). Runs as one
+    Arrow-batched mapInPandas — per-row Python is unavoidable here
+    because the coercion IS reference Python semantics (dict-shape
+    dispatch + regex grammar), but batches amortize transfer and the
+    operator is embarrassingly parallel (no shuffle, no state).
+
+    Upstream corrupt-line handling belongs to parse_jsonl_column /
+    read_jsonl (PERMISSIVE + `_corrupt`): this operator assumes every
+    value is well-formed JSON, the same contract the reference's
+    iter_jsonl-then-coerce pipeline gives its coercion loop.
+    """
+    keep = list(keep or [])
+    out_schema = T.StructType(
+        [df.schema[k] for k in keep]
+        + [
+            T.StructField("section_path", T.StringType()),
+            T.StructField("section_id", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("page_range", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("tables", T.ArrayType(T.StringType())),
+            T.StructField("figures", T.ArrayType(T.StringType())),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def coerce_batches(batches):
+        import json
+
+        import pandas as pd
+
+        from pdf_parser_spark.core import matching
+
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                obj = json.loads(getattr(row, col))
+                c = matching.coerce_chunk_record(obj)
+                rec = {k: getattr(row, k) for k in keep}
+                rec.update(c)
+                recs.append(rec)
+            yield pd.DataFrame(recs, columns=names)
+
+    return df.mapInPandas(coerce_batches, out_schema)
