@@ -3629,78 +3629,83 @@ def q88(spark, sf):
 
 
 # =====================================================================
-# Driver-window rotation (round 4)
+# Driver-window rotation (round 5)
 # =====================================================================
 # The correctness driver checks only the FIRST 50 entries of queries()
-# in dict insertion order (evidence: CORRECTNESS_r01..r03 key order ==
-# registry insertion order, cut at 50). Rounds 2-3 left q54-q70 at
-# positions 51-67, so they were only ever verified by the local
-# type-strict gate / pytest, never by the driver. Rotate the registry:
-# the 30 never-driver-checked queries first (q54-q70 from rounds 2-3
-# plus the round-4 additions q71-q83), then the 20 most value-dense /
-# regression-prone of the previously-green set. The legs that fall out
-# of the window keep their r1-r3 driver rows on record and remain
-# covered by the local gate (tests/test_entry_oracle.py runs ALL
-# entries) and by bench.py.
+# in dict insertion order (evidence: CORRECTNESS_r01..r04 key order ==
+# registry insertion order, cut at 50). Standing policy (VERDICT r4
+# #2): STALE-FIRST — every leg gets a driver row at least every other
+# round. Round-4 history for the record (ADVICE r4 fix: the old
+# comment undercounted): the r4 window was the 33 never-driver-checked
+# legs (q54-q70 from rounds 2-3, 17, plus the round-4 additions
+# q71-q86, 16) and 17 regression-prone repeats — all 50 green in
+# CORRECTNESS_r04, giving every registered query at least one green
+# row across r1-r4.
+#
+# Round 5: the 33 legs whose last driver row is r3 (q01-q13, q22-q24,
+# q26, q28-q31, q36-q44, q50-q51, q53) go first, then the two round-5
+# additions (q87 table-centroid SemDeDup, q88 legacy coercion — never
+# checked), then 15 repeats from the r4-green set biased toward the
+# code this round touched (semantic-dedup/IVF family, the near-dup
+# ladder) and the graft tier's hardest legs. The 35 that fall out keep
+# their r4 rows on record and remain covered by the local type-strict
+# gate (tests/test_entry_oracle.py runs ALL entries) and by bench.py.
 _DRIVER_WINDOW: list[str] = [
-    # never driver-checked before round 4
-    "q54_validation_report_rollup",
-    "q55_greedy_fuzzy_validate",
-    "q56_jsonl_lenient_parse",
-    "q57_noisy_chunk_alpha_title",
-    "q58_gopher_quality",
-    "q59_line_dup_stats",
-    "q60_pii_redact",
-    "q61_url_canonical_groups",
-    "q62_token_chunks",
-    "q63_sequence_packing",
-    "q64_conversion_funnel",
-    "q65_retention_cohorts",
-    "q66_ivf_probe_topk",
-    "q67_asof_join_orders",
-    "q68_min_cost_supplier",
-    "q69_idle_rich_customers",
-    "q70_stream_quality_rollup_twin",
-    # never driver-checked: the round-4 additions (13)
-    "q71_winnowed_capped",
-    "q72_corpus_line_dedup",
-    "q73_decontaminate",
-    "q74_stratified_mix",
-    "q75_ngram_repetition",
-    "q76_duplicate_clusters",
-    "q77_c4_line_clean",
-    "q78_hashed_clf_score",
-    "q79_hll_distinct_sketch",
-    "q80_open_interval_counts",
-    "q81_keyword_topk_bm25",
-    "q82_log2_histogram",
-    "q83_cms_heavy_hitters",
-    "q84_bloom_membership",
-    "q85_split_assignment",
+    # stale-first: last driver row was round 3 (33)
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_nation_revenue",
+    "q04_bulk_parts_semi",
+    "q05_customers_without_orders",
+    "q06_discount_revenue",
+    "q07_priority_with_late_items",
+    "q08_top_orders_per_customer",
+    "q09_event_gaps",
+    "q10_out_of_order_events",
+    "q11_event_sessions",
+    "q12_event_hourly",
+    "q13_event_props_json",
+    "q22_maxima_total",
+    "q23_doc_metrics_rollup",
+    "q24_normalize_scalars",
+    "q26_blocked_jaccard_pairs",
+    "q28_quality_summary",
+    "q29_word_topk",
+    "q30_cosine_topk",
+    "q31_centroids",
+    "q36_toc_graph_edges",
+    "q37_kg_triples",
+    "q38_event_pivot",
+    "q39_lineitem_rollup",
+    "q40_asof_last_purchase",
+    "q41_event_unpivot",
+    "q42_value_percentiles",
+    "q43_above_nation_average",
+    "q44_active_customer_ids",
+    "q50_content_line_filter",
+    "q51_title_override",
+    "q53_export_table_counts",
+    # round-5 additions, never driver-checked (2)
+    "q87_semantic_dedup_table",
+    "q88_legacy_chunk_coercion",
+    # repeats from the r4-green set (15): the semantic-dedup/IVF
+    # family this round's centroid work touched, the near-dup ladder,
+    # and the stateful/extraction legs with the most regression risk
     "q86_semantic_dedup",
-    # regression-prone / value-dense repeats (17). The 16 legs rotated
-    # out here (q01-q12, q23, q26, q28, q36, q39) each carry 2-3
-    # rounds of green driver rows and are the least graft-aligned of
-    # the suite (q26's blocked Jaccard is superseded by the
-    # minhash/simhash legs, q28 is a plain agg over q27's features);
-    # the extraction/dedup/webtext tier stays driver-attested.
-    "q14_toc_parse",
-    "q15_toc_parent_repair",
-    "q16_toc_sort_rank",
-    "q17_chunk_bounds",
-    "q18_chunk_page_gather",
-    "q19_heading_extract",
-    "q20_caption_lists",
-    "q21_validation_counts",
-    "q25_exact_duplicates",
-    "q27_text_features",
+    "q66_ivf_probe_topk",
     "q32_embedding_near_dups",
     "q45_minhash_portable",
     "q46_ann_topk_portable",
     "q47_simhash_portable",
     "q48_winnowed_fingerprints",
-    "q49_char_ngram_lang_id",
-    "q52_caption_reconcile",
+    "q71_winnowed_capped",
+    "q76_duplicate_clusters",
+    "q73_decontaminate",
+    "q55_greedy_fuzzy_validate",
+    "q14_toc_parse",
+    "q21_validation_counts",
+    "q25_exact_duplicates",
+    "q85_split_assignment",
 ]
 
 
