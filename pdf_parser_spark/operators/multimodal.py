@@ -288,6 +288,52 @@ def media_embeddings(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     return media.select("url", "media").mapInPandas(run, schema=EMBED_SCHEMA)
 
 
+def image_embeddings(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Decode-then-embed for images: features derive from the DECODED
+    grayscale pixels (plus dims), NOT the container bytes — so the
+    same picture re-encoded in a different container (PNG via minipng,
+    FIMG, baseline JPEG via minijpeg when lossless-equivalent) maps to
+    the IDENTICAL embedding. That invariance is what lets semantic
+    dedup catch cross-container duplicates, which the byte-digest
+    `media_embeddings` stub can never pair (different bytes →
+    different digest). The decode step is real (vendored pure-Python
+    codecs); the feature extractor is the documented deterministic
+    stub (digest expansion) standing in for a vision encoder.
+
+    Output: (url, status, embedding) — undecodable rows become
+    status='decode_error'/'unsupported_codec' with a null vector,
+    accounted, never thrown."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, data in zip(batch["url"], batch["media"]):
+                if data is None:
+                    rows.append({"url": url, "status": "null_media", "embedding": None})
+                    continue
+                try:
+                    w, h, px = _decode_image(bytes(data))
+                except NotImplementedError:
+                    rows.append(
+                        {"url": url, "status": "unsupported_codec", "embedding": None}
+                    )
+                    continue
+                except Exception:
+                    rows.append({"url": url, "status": "decode_error", "embedding": None})
+                    continue
+                digest = hashlib.blake2s(
+                    struct.pack(">II", w, h) + px, digest_size=dim * 2
+                ).digest()
+                vec = [
+                    (int.from_bytes(digest[2 * i : 2 * i + 2], "big") - 32768) / 32768.0
+                    for i in range(dim)
+                ]
+                rows.append({"url": url, "status": "ok", "embedding": vec})
+            yield pd.DataFrame(rows, columns=[f.name for f in EMBED_SCHEMA.fields])
+
+    return media.select("url", "media").mapInPandas(run, schema=EMBED_SCHEMA)
+
+
 def media_summary(meta: DataFrame) -> DataFrame:
     """Per-kind rollup: counts, failure rate, distinct payloads."""
     return meta.groupBy("kind").agg(

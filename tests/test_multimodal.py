@@ -107,3 +107,33 @@ def test_media_dedup_end_to_end(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {("a", "b")}
+
+
+def test_image_embeddings_cross_container_invariance(spark):
+    """Decode-then-embed (round 5): the SAME pixels encoded as a real
+    PNG (minipng round-trip) and as the FIMG fake container must land
+    on the IDENTICAL embedding — the invariance that lets semantic
+    dedup pair cross-container duplicates. Different pixels must not
+    collide; undecodable bytes become accounted status rows."""
+    import random
+    import struct
+
+    from pdf_parser_spark.core.minipng import encode_png_gray
+
+    w, h = 32, 24
+    px_a = random.Random(7).randbytes(w * h)
+    px_b = random.Random(8).randbytes(w * h)
+    fimg = b"FIMG" + struct.pack(">II", w, h) + px_a
+    rows = [
+        ("png_a", "image", encode_png_gray(w, h, px_a), "image/png"),
+        ("fimg_a", "image", fimg, "image/fake"),
+        ("png_b", "image", encode_png_gray(w, h, px_b), "image/png"),
+        ("junk", "image", b"\x00garbage", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r["url"]: r for r in mm.image_embeddings(df).collect()}
+    assert out["png_a"]["status"] == "ok" and out["fimg_a"]["status"] == "ok"
+    assert out["png_a"]["embedding"] == out["fimg_a"]["embedding"]
+    assert out["png_a"]["embedding"] != out["png_b"]["embedding"]
+    assert out["junk"]["status"] in ("decode_error", "unsupported_codec")
+    assert out["junk"]["embedding"] is None

@@ -192,12 +192,66 @@ def main() -> None:
     leg("warc_ingest_strip", warc_ingest)
 
     # --- dedup tier, production hashes, full 10x corpus --------------
-    leg(
-        "minhash_near_dups_xxhash",
-        lambda: _force(
-            dd.near_dup_pairs_minhash(docs, text_col="text", key_col="url", threshold=0.7)
-        ),
-    )
+    def minhash_planted():
+        """VERDICT r4 #3: the r4 leg returned 0 rows in 150s with no
+        way to tell 'corpus has no Jaccard-0.7 pairs' from 'operator
+        is broken'. Plant pairs with CONTROLLED similarity — 50 exact
+        twins (J=1.0) and 50 one-suffix-word twins (J≈0.999 on these
+        multi-page docs) — and assert recall, the same failure
+        attribution the extraction leg got in r4. At 32 hashes /
+        8 bands the analytic miss probability at J≥0.99 is <1e-6 per
+        pair, so planted recall is 100% or the operator regressed."""
+        n_plant = 100
+        # plant on docs with real text: the corpus's ~4% designed-empty
+        # rows have no shingles, so a twin of one is undetectable BY
+        # DESIGN (no set to overlap) — that's an input property, not an
+        # operator miss, and it must not pollute the recall assertion
+        src = (
+            docs.where(F.length("text") >= 200)
+            .orderBy("url")
+            .limit(n_plant)
+            .select("url", "text")
+            .cache()
+        )
+        src.count()
+        twins = src.select(
+            F.concat(F.col("url"), F.lit("#twin")).alias("url"),
+            F.when(
+                F.crc32(F.col("url")) % 2 == 0, F.col("text")  # exact twin
+            ).otherwise(F.concat(F.col("text"), F.lit(" plantedtwin"))).alias("text"),
+        )
+        corpus2 = docs.select("url", "text").unionByName(twins)
+        pairs = dd.near_dup_pairs_minhash(
+            corpus2, text_col="text", key_col="url", threshold=0.7
+        ).cache()
+        n_pairs = pairs.count()
+        # a twin's key is its base + '#twin', lexicographically larger
+        # (prefix rule), so the planted pair always lands as (base, twin)
+        found = (
+            pairs.where(F.col("id_b") == F.concat(F.col("id_a"), F.lit("#twin")))
+            .join(src.select(F.col("url").alias("id_a")), "id_a", "left_semi")
+            .count()
+        )
+        extra = results["legs"].setdefault("minhash_near_dups_xxhash", {})
+        extra.update(
+            {
+                "planted_pairs": n_plant,
+                "planted_found": found,
+                "planted_recall": round(found / n_plant, 4),
+                "organic_pairs": n_pairs - found,
+                "note": "organic=0 is now corpus-proven, not unattributed: "
+                "planted J≈1.0 pairs are all recovered, so the absence of "
+                "organic pairs means the 50k synthetic corpus genuinely has "
+                "no 3-shingle-Jaccard>=0.7 neighbors (SimHash's 1M pairs "
+                "are 8-bit-Hamming neighbors, a much looser criterion)",
+            }
+        )
+        assert found == n_plant, f"planted recall {found}/{n_plant}"
+        src.unpersist()
+        pairs.unpersist()
+        return n_pairs
+
+    leg("minhash_near_dups_xxhash", minhash_planted)
     n_fp = leg(
         "winnowing_xxhash",
         lambda: _force(
@@ -450,6 +504,95 @@ def main() -> None:
         ),
     )
     emb.unpersist()
+
+    # --- multimodal end-to-end (VERDICT r4 #6): real image bytes →
+    # vendored-codec decode → pixel-derived embedding → SemDeDup with
+    # TABLE-supplied centroids (the round-5 scale path), with planted
+    # cross-container duplicate pairs proving decode feeds dedup -----
+    def multimodal_semdedup():
+        from pdf_parser_spark.operators import multimodal as mmx
+        from pdf_parser_spark.operators import similarity as simx
+
+        n_img, n_plant, w, h = 4000, 50, 64, 48
+        offset = n_img
+
+        def gen(batches):
+            import random
+            import struct as st
+
+            import pandas as pd
+
+            from pdf_parser_spark.core.minipng import encode_png_gray
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    base = i if i < n_img else i - offset
+                    px = random.Random(base * 9176 + 3).randbytes(w * h)
+                    # planted twins (i >= n_img) re-encode the SAME
+                    # pixels in the OTHER container: PNG<->FIMG — only
+                    # a real decode step can pair them
+                    use_png = (base % 2 == 0) if i < n_img else (base % 2 != 0)
+                    if use_png:
+                        data, mime = encode_png_gray(w, h, px), "image/png"
+                    else:
+                        data = b"FIMG" + st.pack(">II", w, h) + px
+                        mime = "image/fake"
+                    rows.append(
+                        {"url": str(i), "kind": "image", "media": data, "mime": mime}
+                    )
+                yield pd.DataFrame(rows, columns=["url", "kind", "media", "mime"])
+
+        media = (
+            spark.range(n_img + n_plant)
+            .repartition(args.cpus * 2)
+            .mapInPandas(gen, mmx.MEDIA_SCHEMA)
+        )
+        t0 = time.perf_counter()
+        emb_ok = (
+            mmx.image_embeddings(media)
+            .where(F.col("status") == "ok")
+            .select(F.col("url").cast("long").alias("vec_id"), "embedding")
+            .cache()
+        )
+        n_ok = emb_ok.count()
+        decode_sec = time.perf_counter() - t0
+        cents = simx.kmeans_centroids(
+            emb_ok, k=16, iters=2, key_col="vec_id", sample_fraction=0.25
+        )
+        losers = dd.semantic_dedup(
+            emb_ok,
+            simx.centroids_table(spark, cents),
+            threshold=0.999,
+            key_col="vec_id",
+        ).cache()
+        n_losers = losers.count()
+        found = losers.where(F.col("vec_id") >= offset).count()
+        extra = results["legs"].setdefault("multimodal_semdedup", {})
+        extra.update(
+            {
+                "images": n_img + n_plant,
+                "decoded_ok": n_ok,
+                "decode_embed_sec": round(decode_sec, 2),
+                "decode_embed_imgs_per_sec": round(n_ok / decode_sec, 1),
+                "planted_cross_container_pairs": n_plant,
+                "planted_found": found,
+                "planted_recall": round(found / n_plant, 4),
+                "organic_dups": n_losers - found,
+                "note": "PNG bytes decode through vendored minipng; a planted "
+                "twin is the same pixels in the other container, so recall "
+                "proves decoded-pixel embeddings (not byte digests) drive the "
+                "dedup; centroids supplied as a TABLE via ivf_assign_table "
+                "(the k-scalable round-5 path) from hash-sampled k-means",
+            }
+        )
+        assert found == n_plant, f"planted cross-container recall {found}/{n_plant}"
+        emb_ok.unpersist()
+        losers.unpersist()
+        return n_losers
+
+    leg("multimodal_semdedup", multimodal_semdedup)
 
     results["total_sec"] = round(
         sum(v["sec"] for v in results["legs"].values()), 2
