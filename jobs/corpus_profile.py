@@ -301,11 +301,17 @@ def run(
     n_input = docs.count()
 
     seen = _read_or_none(spark, seen_path, snapshots)
-    # a recovered batch forces the anti-join even without --resume:
-    # the previous run crashed mid-apply, and its natural re-invocation
-    # (same command line) must not merge the recovered docs a second
-    # time under a fresh batch_id
-    if (resume or recovered) and seen is not None:
+    # The anti-join is UNCONDITIONAL whenever seen_urls exists (ADVICE
+    # r4): re-running on an existing outdir WITHOUT --resume used to
+    # skip it, merging the same documents again under a fresh batch_id
+    # and silently double-counting every SUM sketch — the exact
+    # corruption the two-phase commit exists to prevent, reachable by
+    # plain operator error. The resume flag now only changes intent
+    # (incremental continuation vs. accident); dedup safety never
+    # depends on it. This also covers the crash-recovery case: a
+    # recovered batch's docs are in seen_urls, so its natural
+    # re-invocation (same command line) can't merge them twice.
+    if seen is not None:
         docs = docs.join(seen.select("url").distinct(), "url", "left_anti")
 
     # ONE projection of the batch feeds all four sketches; null text

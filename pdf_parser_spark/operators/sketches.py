@@ -302,6 +302,7 @@ def cms_lookup(
     d: int = 4,
     w: int = 1024,
     portable: bool = False,
+    validate: bool = True,
 ) -> DataFrame:
     """Point-frequency estimates: one output row per probe row (the
     probe frame's `group` column + key_col pick the counters), est =
@@ -311,7 +312,26 @@ def cms_lookup(
     the probe frame NEVER shuffles: no explode (rows don't multiply),
     no groupBy (duplicate probe rows stay distinct rows). Keys the
     sketch never saw read their counters as 0 via the joins'
-    coalesce."""
+    coalesce.
+
+    `validate` (ADVICE r4): probe params MUST match the build's — a
+    mismatch silently breaks the one-sided est >= true guarantee (a
+    probe row hashing to a row/col the build never produced reads 0).
+    The structural check is one tiny agg on the bounded sketch side:
+    a non-empty build populates every hash row, so max(row) == d-1
+    exactly, and every col < w. w_build < w_probe is structurally
+    invisible (all cols < w_build < w) — persist build params (the
+    profile job's _profile_meta.json pattern) for full protection."""
+    if validate:
+        hdr = sketch.agg(
+            F.max("row").alias("mr"), F.max("col").alias("mc")
+        ).first()
+        if hdr["mr"] is not None and (hdr["mr"] != d - 1 or hdr["mc"] >= w):
+            raise ValueError(
+                f"cms_lookup params (d={d}, w={w}) do not match the sketch "
+                f"(max row {hdr['mr']} != d-1, or max col {hdr['mc']} >= w); "
+                "probe with the build's params"
+            )
     keep = list(probes.columns)
     out = probes
     for i in range(d):
@@ -396,6 +416,7 @@ def bloom_contains(
     k: int = 4,
     m: int = 8192,
     portable: bool = False,
+    validate: bool = True,
 ) -> DataFrame:
     """Membership probe: for each probe row (must carry a `group`
     column + key_col), maybe_member = ALL k bit positions set. The
@@ -405,7 +426,22 @@ def bloom_contains(
     explodes, and duplicate probe rows stay distinct output rows.
     One-sided: a key that was inserted ALWAYS reads true (no false
     negatives); an absent key reads true only if all k of its
-    positions collide with set bits."""
+    positions collide with set bits.
+
+    `validate` (ADVICE r4): an m mismatch silently turns the no-false-
+    negatives guarantee into false negatives (probed positions the
+    build never produced). One tiny agg on the bounded bit table
+    catches m_probe <= max set bit; k and m_build < m_probe leave no
+    structural trace in a (group, pos) table — persist build params
+    (the profile job's _profile_meta.json pattern) for full
+    protection."""
+    if validate:
+        hdr = bloom.agg(F.max("pos").alias("mp")).first()
+        if hdr["mp"] is not None and hdr["mp"] >= m:
+            raise ValueError(
+                f"bloom_contains m={m} does not match the filter "
+                f"(max set bit {hdr['mp']} >= m); probe with the build's m"
+            )
     keep = list(probes.columns)
     out = probes
     for i in range(k):

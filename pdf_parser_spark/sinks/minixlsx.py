@@ -4,9 +4,14 @@ orchestrate.py:195-234 writes via pandas.ExcelWriter/openpyxl).
 
 An .xlsx file is a zip of XML parts; this writes the minimal valid
 set ([Content_Types].xml, _rels/.rels, xl/workbook.xml + its rels,
-one xl/worksheets/sheetN.xml per sheet) with inline strings and
-numeric cells — readable by Excel/LibreOffice/openpyxl. No styles,
-no shared-string table (inline strings keep the writer single-pass).
+xl/styles.xml, one xl/worksheets/sheetN.xml per sheet) with inline
+strings and numeric cells — readable by Excel/LibreOffice/openpyxl.
+No shared-string table (inline strings keep the writer single-pass).
+
+Header styling parity (VERDICT r4 #7, reference orchestrate.py
+_autofit, 210-234): row 1 is bold (cellXfs style 1) and every column
+gets width = min(longest value + 2, max_width=60) — the same rule the
+reference applies through openpyxl.
 """
 
 from __future__ import annotations
@@ -38,6 +43,18 @@ _WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 {rels}
 </Relationships>"""
 
+# two cell formats: 0 = default, 1 = bold (header row)
+_STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<fonts count="2"><font><sz val="11"/><name val="Calibri"/></font>
+<font><b/><sz val="11"/><name val="Calibri"/></font></fonts>
+<fills count="2"><fill><patternFill patternType="none"/></fill>
+<fill><patternFill patternType="gray125"/></fill></fills>
+<borders count="1"><border/></borders>
+<cellStyleXfs count="1"><xf/></cellStyleXfs>
+<cellXfs count="2"><xf xfId="0"/><xf fontId="1" xfId="0" applyFont="1"/></cellXfs>
+</styleSheet>"""
+
 
 def _col_letters(idx: int) -> str:
     """0-based column index → A, B, ..., Z, AA, ..."""
@@ -49,29 +66,42 @@ def _col_letters(idx: int) -> str:
     return out
 
 
-def _cell_xml(ref: str, v) -> str:
+def _cell_xml(ref: str, v, style: int = 0) -> str:
+    s = f' s="{style}"' if style else ""
     if v is None:
         return ""
     if isinstance(v, bool):  # before int: bool is an int subclass
-        return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        return f'<c r="{ref}"{s} t="b"><v>{1 if v else 0}</v></c>'
     if isinstance(v, (int, float)):
         if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
-            return f'<c r="{ref}" t="inlineStr"><is><t>{v!r}</t></is></c>'
-        return f'<c r="{ref}"><v>{v!r}</v></c>'
+            return f'<c r="{ref}"{s} t="inlineStr"><is><t>{v!r}</t></is></c>'
+        return f'<c r="{ref}"{s}><v>{v!r}</v></c>'
     text = escape(str(v))
-    return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
+    return f'<c r="{ref}"{s} t="inlineStr"><is><t>{text}</t></is></c>'
 
 
-def _sheet_xml(columns: list, rows: list[tuple]) -> str:
+def _sheet_xml(columns: list, rows: list[tuple], max_width: int = 60) -> str:
+    all_rows = [tuple(columns)] + [tuple(r) for r in rows]
+    # reference _autofit rule: width = min(longest value + 2, max_width)
+    n_cols = max((len(r) for r in all_rows), default=0)
+    cols = []
+    for c in range(n_cols):
+        longest = max(
+            (len(str(r[c])) if c < len(r) and r[c] is not None else 0 for r in all_rows),
+            default=0,
+        )
+        w = min(longest + 2, max_width)
+        cols.append(f'<col min="{c + 1}" max="{c + 1}" width="{w}" customWidth="1"/>')
     parts = [
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">',
+        f"<cols>{''.join(cols)}</cols>" if cols else "",
         "<sheetData>",
     ]
-    all_rows = [tuple(columns)] + [tuple(r) for r in rows]
     for r_no, row in enumerate(all_rows, start=1):
+        style = 1 if r_no == 1 else 0  # bold header row
         cells = "".join(
-            _cell_xml(f"{_col_letters(c)}{r_no}", v) for c, v in enumerate(row)
+            _cell_xml(f"{_col_letters(c)}{r_no}", v, style) for c, v in enumerate(row)
         )
         parts.append(f'<row r="{r_no}">{cells}</row>')
     parts.append("</sheetData></worksheet>")
@@ -103,6 +133,10 @@ def write_xlsx(sheets: dict[str, tuple[list, list[tuple]]], target: str) -> None
         'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
         for i in range(1, len(names) + 1)
     )
+    overrides += (
+        '\n<Override PartName="/xl/styles.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+    )
     wb_sheets = "".join(
         f'<sheet name={quoteattr(n)} sheetId="{i}" r:id="rId{i}"/>'
         for i, n in enumerate(names, start=1)
@@ -113,10 +147,16 @@ def write_xlsx(sheets: dict[str, tuple[list, list[tuple]]], target: str) -> None
         f'Target="worksheets/sheet{i}.xml"/>'
         for i in range(1, len(names) + 1)
     )
+    wb_rels += (
+        f'\n<Relationship Id="rId{len(names) + 1}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" '
+        'Target="styles.xml"/>'
+    )
     with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("[Content_Types].xml", _CT.format(sheet_overrides=overrides))
         z.writestr("_rels/.rels", _RELS)
         z.writestr("xl/workbook.xml", _WB.format(sheets=wb_sheets))
         z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS.format(rels=wb_rels))
+        z.writestr("xl/styles.xml", _STYLES)
         for i, (_name, (columns, rows)) in enumerate(sheets.items(), start=1):
             z.writestr(f"xl/worksheets/sheet{i}.xml", _sheet_xml(columns, rows))

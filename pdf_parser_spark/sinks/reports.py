@@ -113,21 +113,28 @@ def write_report_json(report: dict, path: str) -> None:
     Path(path).write_text(json.dumps(report, indent=2, ensure_ascii=False))
 
 
-def write_spreadsheet(sheets: dict[str, DataFrame], target: str, max_rows: int = 10000) -> list[str]:
-    """K5: multi-sheet .xlsx report (reference orchestrate.py:195-234).
-    With openpyxl installed this uses pandas.ExcelWriter (the
-    reference's exact engine); otherwise the vendored stdlib
-    minixlsx writer produces an equivalent valid workbook — a real
-    .xlsx lands either way, never a CSV downgrade."""
-    frames = {name: df.limit(max_rows).toPandas() for name, df in sheets.items()}
+def _write_frames_xlsx(frames: dict, target: str, max_width: int = 60) -> None:
+    """One workbook write attempt. With openpyxl installed this is the
+    reference's exact engine AND styling (orchestrate.py:210-234
+    _autofit: bold header row, width = min(longest+2, max_width));
+    otherwise the vendored minixlsx writer, which applies the same
+    header-bold/column-width rule natively."""
     try:
         import openpyxl  # noqa: F401
         import pandas as pd
+        from openpyxl.styles import Font
 
         Path(target).parent.mkdir(parents=True, exist_ok=True)
         with pd.ExcelWriter(target, engine="openpyxl") as xw:
             for name, pdf in frames.items():
                 pdf.to_excel(xw, sheet_name=name[:31], index=False)
+            for ws in xw.book.worksheets:
+                for cell in ws[1]:
+                    cell.font = Font(bold=True)
+                for col in ws.columns:
+                    values = [str(c.value) if c.value is not None else "" for c in col]
+                    width = min(max((len(v) for v in values), default=0) + 2, max_width)
+                    ws.column_dimensions[col[0].column_letter].width = width
     except ImportError:
         from .minixlsx import write_xlsx
 
@@ -141,4 +148,31 @@ def write_spreadsheet(sheets: dict[str, DataFrame], target: str, max_rows: int =
             },
             target,
         )
-    return [target]
+
+
+def write_spreadsheet(sheets: dict[str, DataFrame], target: str, max_rows: int = 10000) -> list[str]:
+    """K5: multi-sheet .xlsx report (reference orchestrate.py:195-234).
+    A real .xlsx lands either way (openpyxl or vendored minixlsx),
+    never a CSV downgrade. Reference-parity behaviors (VERDICT r4 #7):
+    a pre-existing target is unlinked first (PermissionError on the
+    unlink tolerated — write may still succeed, orchestrate.py:220-228),
+    and a PermissionError on the WRITE (file open in Excel) falls back
+    to a timestamped ValidationReport_*.xlsx alongside it instead of
+    failing the job (orchestrate.py:382-393). Returns the path(s)
+    actually written."""
+    frames = {name: df.limit(max_rows).toPandas() for name, df in sheets.items()}
+    tpath = Path(target)
+    if tpath.exists():
+        try:
+            tpath.unlink()
+        except PermissionError:
+            pass  # reference: "will try writing anyway"
+    try:
+        _write_frames_xlsx(frames, target)
+        return [target]
+    except PermissionError:
+        import time as _time
+
+        alt = tpath.parent / f"ValidationReport_{_time.strftime('%Y%m%d_%H%M%S')}.xlsx"
+        _write_frames_xlsx(frames, str(alt))
+        return [str(alt)]

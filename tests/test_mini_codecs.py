@@ -535,3 +535,81 @@ def test_miniavi_through_video_operators(spark):
         assert (r["width"], r["height"]) == (w, h)
         err = max(abs(a - b) for a, b in zip(frames[f_no], bytes(r["frame"])))
         assert err <= 2
+
+
+def test_minixlsx_header_style_and_autofit(tmp_path):
+    """K5 parity polish (VERDICT r4 #7): row 1 carries the bold cell
+    format (s="1" → cellXfs/fontId 1 with <b/>), data rows don't, and
+    every column has the reference _autofit width
+    min(longest value + 2, 60)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from pdf_parser_spark.sinks.minixlsx import write_xlsx
+
+    target = str(tmp_path / "wb.xlsx")
+    long_val = "x" * 100
+    write_xlsx(
+        {"s": (["name", "n"], [("alpha", 3), (long_val, 4)])},
+        target,
+    )
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(target) as z:
+        assert "xl/styles.xml" in z.namelist()
+        styles = ET.fromstring(z.read("xl/styles.xml"))
+        fonts = styles.findall(".//m:fonts/m:font", ns)
+        assert fonts[1].find("m:b", ns) is not None  # font 1 is bold
+        xfs = styles.findall(".//m:cellXfs/m:xf", ns)
+        assert xfs[1].get("fontId") == "1"
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        rows = sheet.findall(".//m:row", ns)
+        assert all(c.get("s") == "1" for c in rows[0].findall("m:c", ns))
+        assert all(c.get("s") is None for c in rows[1].findall("m:c", ns))
+        cols = sheet.findall(".//m:cols/m:col", ns)
+        # col 1: longest is the 100-char value → capped at 60;
+        # col 2: longest is "name"-column header... no, header "name"
+        # (4) vs values alpha(5)/x*100 — col1 header "name"(4), values
+        # 5 and 100 → 60 cap; col2 header "n"(1), values 3,4 (len 1) → 3
+        assert cols[0].get("width") == "60"
+        assert cols[1].get("width") == "3"
+        # the styles part is wired into content types + workbook rels
+        assert "/xl/styles.xml" in z.read("[Content_Types].xml").decode()
+        assert "styles.xml" in z.read("xl/_rels/workbook.xml.rels").decode()
+
+
+def test_write_spreadsheet_permission_fallback(tmp_path, monkeypatch):
+    """Reference orchestrate.py:382-393: a PermissionError writing the
+    target (file open in Excel) falls back to a timestamped
+    ValidationReport_*.xlsx next to it instead of failing the job."""
+    import re
+
+    from pdf_parser_spark.sinks import reports as rp
+
+    calls = {"n": 0}
+    real = rp._write_frames_xlsx
+
+    def locked_once(frames, target, max_width=60):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise PermissionError(13, "locked", target)
+        return real(frames, target, max_width)
+
+    monkeypatch.setattr(rp, "_write_frames_xlsx", locked_once)
+    import pandas as pd
+
+    frames = {"s": pd.DataFrame({"a": [1, 2]})}
+    target = tmp_path / "report.xlsx"
+
+    class FakeDF:
+        def limit(self, n):
+            return self
+
+        def toPandas(self):
+            return frames["s"]
+
+    written = rp.write_spreadsheet({"s": FakeDF()}, str(target))
+    assert len(written) == 1 and written[0] != str(target)
+    name = Path(written[0]).name
+    assert re.fullmatch(r"ValidationReport_\d{8}_\d{6}\.xlsx", name), name
+    assert Path(written[0]).exists()
+    assert calls["n"] == 2

@@ -785,3 +785,31 @@ def test_semantic_dedup_zero_norm_vector(spark):
     assert set(out) == {2}
     assert out[2]["dup_of"] == 1
     assert all(r["cosine"] == r["cosine"] for r in out.values())  # no NaN
+
+
+def test_sketch_probe_param_validation(spark):
+    """ADVICE r4: probing a CMS/Bloom with params that don't match the
+    build must fail loudly (detectable cases), not silently break the
+    one-sided guarantees."""
+    import pytest
+
+    from pdf_parser_spark.operators import sketches as sk
+
+    df = spark.range(200).select(
+        F.lit("g").alias("group"), F.concat(F.lit("k-"), F.col("id")).alias("k")
+    )
+    probes = spark.createDataFrame([("g", "k-1")], "group string, k string")
+
+    cms = sk.cms_table(df, "group", "k", d=3, w=64, portable=True)
+    with pytest.raises(ValueError, match="do not match the sketch"):
+        sk.cms_lookup(cms, probes, key_col="k", d=2, w=64, portable=True).collect()
+    with pytest.raises(ValueError, match="do not match the sketch"):
+        sk.cms_lookup(cms, probes, key_col="k", d=3, w=32, portable=True).collect()
+    ok = sk.cms_lookup(cms, probes, key_col="k", d=3, w=64, portable=True)
+    assert ok.count() == 1
+
+    bloom = sk.bloom_table(df, "group", "k", k=3, m=128, portable=True)
+    with pytest.raises(ValueError, match="does not match the filter"):
+        sk.bloom_contains(bloom, probes, key_col="k", k=3, m=64, portable=True).collect()
+    good = sk.bloom_contains(bloom, probes, key_col="k", k=3, m=128, portable=True)
+    assert good.where(F.col("maybe_member")).count() == 1

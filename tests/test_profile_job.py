@@ -242,3 +242,23 @@ def test_recover_plain_swaps(tmp_path):
     assert (out / "word_cms" / "part-0.parquet").read_text() == "data"
     assert (out / "len_hist" / "part-0.parquet").read_text() == "new"
     assert not unsealed.exists() and not sealed.exists() and not sealed2.exists()
+
+
+def test_profile_rerun_without_resume_never_double_counts(spark, tmp_path):
+    """ADVICE r4: re-running the job on an existing outdir WITHOUT
+    --resume must not merge the same documents twice (SUM sketches
+    silently double-counting). The seen_urls anti-join is
+    unconditional: the second run profiles 0 new docs and every
+    sketch table is unchanged."""
+    corpus = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "profile")
+    write_documents(synthetic_documents(spark, 30, seed=7), corpus)
+
+    r1 = run_profile(corpus, out, spark=spark)
+    assert r1["newly_profiled"] == 30
+    before = {t: _sorted_rows(_table(spark, out, t)) for t in _TABLES}
+
+    r2 = run_profile(corpus, out, spark=spark)  # plain operator error
+    assert r2["newly_profiled"] == 0
+    after = {t: _sorted_rows(_table(spark, out, t)) for t in _TABLES}
+    assert before == after
