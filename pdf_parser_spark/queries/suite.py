@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..functions import text_metrics as tm
 from ..functions.normalize import normalize_text_native, strip_dot_leaders_native
@@ -3628,6 +3628,195 @@ def q88(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------
+# q89/q90 — HTML boilerplate-strip extraction (north_rule DOM pipeline)
+# ---------------------------------------------------------------------
+# The north-star capability with no driver row until round 5: render
+# each document's text into boilerplate-laden Common-Crawl-style HTML
+# (sources/synth.render_html — nav/header/footer/aside/script/style
+# around escaped <div class="page"> bodies) and run the real
+# DOM-heuristic extractor over it. The oracle never parses HTML — it
+# exploits the per-url byte-identity contract: a correct extractor's
+# output IS the text column (pages rejoined), so DuckDB replays the
+# expected result from `documents.text` with pure string functions.
+# A synthetic appendix + an EMPTY page are concatenated on so the
+# multi-page split/join and the empty-block-drop semantics are both
+# driver-attested (testdata text is single-page).
+
+_HTML_PAGE_SUFFIX_SQL = (
+    "text || chr(12) || 'Appendix for document ' || CAST(doc_id AS VARCHAR)"
+    " || chr(12) || chr(12) || 'Final page.'"
+)
+
+_Q89_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         string_split({_HTML_PAGE_SUFFIX_SQL}, chr(12)) AS parts
+  FROM documents
+)
+SELECT url,
+  array_to_string(list_filter(parts, x -> x <> ''), chr(12)) AS extracted_text,
+  CAST(len(list_filter(parts, x -> x <> '')) + 8 AS INT) AS n_blocks,
+  CAST(len(list_filter(parts, x -> x <> '')) AS INT) AS n_content_blocks
+FROM d
+"""
+
+
+def _docs_as_rendered_html(spark, sf) -> DataFrame:
+    """documents → (url, html:binary) with html rendered from `text`
+    by the synthetic-corpus generator (escaped page divs inside
+    nav/header/aside/script/footer boilerplate). One Arrow-batched
+    projection — the scan reads only (doc_id, text)."""
+    import pandas as pd  # noqa: F401  (pandas_udf body)
+
+    from ..plans.session import ship_package
+
+    ship_package(spark)
+
+    @F.pandas_udf(T.BinaryType())
+    def _render(url, text):
+        import pandas as pd
+
+        from ..sources.synth import render_html
+
+        return pd.Series(
+            [
+                render_html(u, (t or "").split("\f")).encode("utf-8")
+                for u, t in zip(url, text)
+            ]
+        )
+
+    d = _t(spark, sf, "documents")
+    text2 = F.concat_ws(
+        "\f",
+        F.col("text"),
+        F.concat(F.lit("Appendix for document "), F.col("doc_id").cast("string")),
+        F.lit(""),
+        F.lit("Final page."),
+    )
+    derived = d.select(F.col("doc_id").cast("string").alias("url"), text2.alias("text"))
+    return derived.select("url", _render("url", "text").alias("html"))
+
+
+@register("q89_html_main_extract", _Q89_ORACLE)
+def q89(spark, sf):
+    """North-rule flagship: HTML boilerplate stripping via DOM-tree
+    heuristics (text mass, link density, boilerplate-ancestor tags —
+    core/html_extract.py), byte-identical extracted text per url.
+    Spark side renders Common-Crawl-style HTML from `documents.text`
+    and recovers the main content with operators/html_extract
+    .html_main_text (single mapInPandas, zero shuffles); the oracle
+    reconstructs the expected bytes from the text column alone, so a
+    green row proves the whole parse→segment→score→classify→assemble
+    chain is byte-exact, including dropping the planted empty page.
+    Generalizes the reference's line-level noise filters (SURVEY
+    §2.11; utils.py:239-241, chunk.py:235-238) to the DOM tier."""
+    from ..operators.html_extract import html_main_text
+
+    return html_main_text(_docs_as_rendered_html(spark, sf))
+
+
+_Q90_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         string_split({_HTML_PAGE_SUFFIX_SQL}, chr(12)) AS parts
+  FROM documents
+), u AS (
+  SELECT url, unnest(parts) AS page, generate_subscripts(parts, 1) AS idx
+  FROM d
+), k AS (
+  SELECT url, page, idx,
+    row_number() OVER w AS rn,
+    COALESCE(SUM(length(page)) OVER (
+      PARTITION BY url ORDER BY idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_chars
+  FROM u WHERE page <> ''
+  WINDOW w AS (PARTITION BY url ORDER BY idx)
+)
+SELECT url,
+  CAST(idx + 7 AS INT) AS block_no,
+  CAST(prev_chars + rn - 1 AS INT) AS char_start,
+  CAST(prev_chars + rn - 1 + length(page) AS INT) AS char_end,
+  'html/body/main/div' AS tag_path
+FROM k
+"""
+
+
+@register("q90_html_content_spans", _Q90_ORACLE)
+def q90(spark, sf):
+    """North-rule span contract: per-url chunk/span offsets into the
+    extracted text (operators/html_extract.html_content_spans).
+    Oracle replays the offsets with a windowed prefix sum over the
+    page list — char_start = chars of prior kept pages + one
+    separator each — and pins block_no to the renderer's fixed
+    8-block boilerplate preamble (title/style/script/nav×2/aside×2
+    ... the <main> wrapper block is empty and dropped), so a green
+    row proves both the offset arithmetic AND that the segmenter's
+    block numbering over the boilerplate DOM is stable."""
+    from ..operators.html_extract import html_content_spans
+
+    return html_content_spans(_docs_as_rendered_html(spark, sf))
+
+
+_Q91_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         string_split({_HTML_PAGE_SUFFIX_SQL}, chr(12)) AS parts
+  FROM documents
+), pages AS (
+  SELECT url, unnest(parts) AS page FROM d
+), kept AS (
+  SELECT url, page FROM pages WHERE page <> ''
+), n AS (
+  SELECT COUNT(*) AS docs,
+         CAST(SUM(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS url_chars
+  FROM documents
+)
+SELECT 'html/body/main/div' AS tag_path,
+       CAST(COUNT(*) AS BIGINT) AS blocks,
+       CAST(COUNT(*) AS BIGINT) AS content_blocks,
+       CAST(0.0 AS DOUBLE) AS avg_link_density,
+       CAST(SUM(length(page)) AS BIGINT) AS chars,
+       CAST(1.0 AS DOUBLE) AS content_share
+FROM kept
+UNION ALL SELECT 'html/head/title', docs, 0, CAST(0.0 AS DOUBLE), url_chars, CAST(0.0 AS DOUBLE) FROM n
+UNION ALL SELECT 'html/head/style', docs, 0, 0.0, 15 * docs, 0.0 FROM n
+UNION ALL SELECT 'html/head/script', docs, 0, 0.0, 8 * docs, 0.0 FROM n
+UNION ALL SELECT 'html/body/header/nav/a', docs, 0, 1.0, 6 * docs, 0.0 FROM n
+UNION ALL SELECT 'html/body/header/nav', docs, 0,
+                 ROUND(68.0 / 104.0, 4), 104 * docs, 0.0 FROM n
+UNION ALL SELECT 'html/body/aside/a', docs, 0, 1.0, 9 * docs, 0.0 FROM n
+UNION ALL SELECT 'html/body/aside', docs, 0, 0.0, 20 * docs, 0.0 FROM n
+UNION ALL SELECT 'html/body/footer', docs, 0, 0.375, 32 * docs, 0.0 FROM n
+"""
+
+
+@register("q91_boilerplate_stats", _Q91_ORACLE)
+def q91(spark, sf):
+    """Block-level DOM-heuristic attestation: html_blocks scores every
+    block (text mass, link density, boilerplate ancestry) and
+    boilerplate_stats rolls the corpus up per tag_path — the
+    threshold-tuning surface. The oracle derives every row in closed
+    form from the renderer's fixed boilerplate: e.g. the nav-level
+    anonymous block is always 104 chars of which 68 are inside <a>
+    (avg_link_density 68/104 → 0.6538), the footer 12/32 = 0.375, the
+    bare link blocks 1.0, content divs 0.0 — so a green row proves the
+    segmenter's char/link accounting NUMERICALLY, not just the final
+    keep/drop bit that q89 attests. One mapInPandas + one hash agg."""
+    from ..operators.html_extract import boilerplate_stats, html_blocks
+
+    blocks = html_blocks(_docs_as_rendered_html(spark, sf))
+    out = boilerplate_stats(blocks)
+    return out.select(
+        "tag_path",
+        "blocks",
+        F.col("content_blocks").cast("long").alias("content_blocks"),
+        (F.col("avg_link_density") + F.lit(0.0)).alias("avg_link_density"),
+        F.col("chars").cast("long").alias("chars"),
+        (F.col("content_share") + F.lit(0.0)).alias("content_share"),
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 5)
 # =====================================================================
@@ -3643,13 +3832,14 @@ def q88(spark, sf):
 # row across r1-r4.
 #
 # Round 5: the 33 legs whose last driver row is r3 (q01-q13, q22-q24,
-# q26, q28-q31, q36-q44, q50-q51, q53) go first, then the two round-5
-# additions (q87 table-centroid SemDeDup, q88 legacy coercion — never
-# checked), then 15 repeats from the r4-green set biased toward the
-# code this round touched (semantic-dedup/IVF family, the near-dup
-# ladder) and the graft tier's hardest legs. The 35 that fall out keep
-# their r4 rows on record and remain covered by the local type-strict
-# gate (tests/test_entry_oracle.py runs ALL entries) and by bench.py.
+# q26, q28-q31, q36-q44, q50-q51, q53) go first, then the five round-5
+# additions (q87 table-centroid SemDeDup, q88 legacy coercion,
+# q89/q90/q91 HTML DOM extraction — never checked), then 12 repeats
+# from the r4-green set biased toward the code this round touched
+# (semantic-dedup/IVF family, the near-dup ladder) and the graft
+# tier's hardest legs. The 38 that fall out keep their r4 rows on
+# record and remain covered by the local type-strict gate
+# (tests/test_entry_oracle.py runs ALL entries) and by bench.py.
 _DRIVER_WINDOW: list[str] = [
     # stale-first: last driver row was round 3 (33)
     "q01_pricing_summary",
@@ -3685,10 +3875,13 @@ _DRIVER_WINDOW: list[str] = [
     "q50_content_line_filter",
     "q51_title_override",
     "q53_export_table_counts",
-    # round-5 additions, never driver-checked (2)
+    # round-5 additions, never driver-checked (5)
     "q87_semantic_dedup_table",
     "q88_legacy_chunk_coercion",
-    # repeats from the r4-green set (15): the semantic-dedup/IVF
+    "q89_html_main_extract",
+    "q90_html_content_spans",
+    "q91_boilerplate_stats",
+    # repeats from the r4-green set (12): the semantic-dedup/IVF
     # family this round's centroid work touched, the near-dup ladder,
     # and the stateful/extraction legs with the most regression risk
     "q86_semantic_dedup",
@@ -3702,10 +3895,7 @@ _DRIVER_WINDOW: list[str] = [
     "q76_duplicate_clusters",
     "q73_decontaminate",
     "q55_greedy_fuzzy_validate",
-    "q14_toc_parse",
     "q21_validation_counts",
-    "q25_exact_duplicates",
-    "q85_split_assignment",
 ]
 
 

@@ -39,6 +39,9 @@ SUBSET = [
     "q55_greedy_fuzzy_validate",
     "q56_jsonl_lenient_parse",
     "q57_noisy_chunk_alpha_title",
+    "q89_html_main_extract",
+    "q90_html_content_spans",
+    "q91_boilerplate_stats",
 ]
 
 
