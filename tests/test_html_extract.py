@@ -151,3 +151,26 @@ def test_tokenizer_never_throws_on_hostile_bytes():
         b"\x00" * 64,
     ]:
         assert isinstance(segment_blocks(payload), list)
+
+
+def test_fuzz_render_roundtrip_byte_identity():
+    """Property form of the per-url invariant (r5): for ARBITRARY page
+    texts — control chars, CRLF, entities-looking sequences, unicode
+    separators, markup characters — render_html → extract_main_text
+    returns exactly the non-empty pages rejoined on \\f. This is the
+    q89 oracle's contract fuzzed beyond the synthetic corpus's
+    character set (Common Crawl pages carry all of these)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_parser_spark.sources.synth import render_html
+
+    page = st.text(max_size=80).filter(lambda s: "\f" not in s)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(page, max_size=6))
+    def run(pages):
+        out = extract_main_text(render_html("u", pages))
+        assert out == "\f".join(p for p in pages if p)
+
+    run()
