@@ -167,3 +167,121 @@ def assign_splits(
         .withColumn("split", expr)
         .drop("_split_bucket")
     )
+
+
+def _ilog2(x: Column) -> Column:
+    """floor(log2(x)) for x >= 1 via INTEGER/string ops only —
+    length(bin(x)) - 1. No float log enters the computation, so any
+    engine replays it bit-for-bit (Math.log/libm differ in the last
+    ulp; bin() cannot)."""
+    return F.length(F.bin(x)) - F.lit(1)
+
+
+def dsir_grams(df: DataFrame, text_col: str = "text") -> Column:
+    """Unigram + bigram array from ASCII-alphanumeric runs, lowercased
+    per token. Tokens are extracted from the RAW text and lowercased
+    individually (pure-ASCII lowering is engine-identical; lowering
+    whole unicode text first is not — ligatures/dotted-I differ)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+"), F.lit(0)), F.lower
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 4096,
+    seed: int = 0,
+    portable: bool = False,
+    weights_table: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each document by how much more likely its n-grams are under
+    a TARGET distribution (e.g. curated/wiki-like docs) than under the
+    RAW corpus, estimated over hashed n-gram buckets so the feature
+    space is fixed at `n_buckets` regardless of vocabulary.
+
+    Per document:  dsir_q = Σ_grams  w(bucket(gram)),  with
+        w(b) = ilog2(ct_b + 1) − ilog2(cr_b + 1)
+    where ct/cr are the bucket's gram counts in the target subset and
+    the full corpus. The weight is the INTEGER-log2 quantization of
+    the DSIR log-ratio log(p̂_t(b)/p̂_r(b)) — determinism contract:
+    integer counts → integer weights → exact integer per-doc sums, so
+    partial-agg order cannot wobble a bit and an ANSI oracle replays
+    byte-for-byte (q92). The dropped normalizer log(N_r/N_t) is a
+    per-gram constant (a rank-preserving shift at fixed gram count);
+    a production variant can substitute float log-ratios in w(b)
+    without touching the plan shape. Resample by rank or by
+    hash-gated acceptance on dsir_q exactly as stratified_sample does
+    on its ppm column.
+
+    Plan shape at 10^12 docs:
+      - grams/buckets are PROJECTED columns (hoisted once — the
+        r3 HOF lesson), hashed once per gram per pass;
+      - the ONLY wide exchange is the bucket-count agg (map-side
+        partials into `n_buckets` groups); the weight table is then
+        one collected row — bounded at n_buckets entries — broadcast
+        back via the repo's 1-row crossJoin idiom, and scoring is a
+        scan-local fold: no shuffle of the corpus, no join;
+      - pass `weights_table` (bucket:int, w:int) to skip the counting
+        pass entirely — the production path trains the table on a
+        held-out sample (DSIR §2.2 does exactly this) and scores the
+        full corpus in ONE scan-shaped pass.
+    """
+    words = dsir_grams(df, text_col)
+    base = df.select(
+        F.col(key_col), F.coalesce(target, F.lit(False)).alias("_is_target"), words.alias("_w")
+    )
+    w = F.col("_w")
+    nb = F.size(w) - F.lit(1)
+    bigrams = F.when(
+        nb >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda i: F.concat(F.element_at(w, i), F.lit(" "), F.element_at(w, (i + F.lit(1)).cast("int"))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if portable:
+        bucket = lambda x: (portable_hash64(x, seed) % F.lit(n_buckets)).cast("int")  # noqa: E731
+    else:
+        bucket = lambda x: F.pmod(F.xxhash64(x, F.lit(seed)), F.lit(n_buckets)).cast("int")  # noqa: E731
+    g = base.select(
+        key_col,
+        "_is_target",
+        F.concat(w, bigrams).alias("_g"),
+    ).withColumn("_b", F.transform(F.col("_g"), bucket))
+
+    if weights_table is None:
+        ex = g.select(F.explode("_b").alias("bucket"), "_is_target")
+        weights_table = (
+            ex.groupBy("bucket")
+            .agg(
+                F.count("*").alias("cr"),
+                F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+            )
+            .select(
+                "bucket",
+                (_ilog2(F.col("ct") + 1) - _ilog2(F.col("cr") + 1)).cast("int").alias("w"),
+            )
+        )
+    packed = weights_table.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("w").cast("int")))
+        ).alias("_wmap")
+    )
+    joined = g.crossJoin(F.broadcast(packed))
+    score = F.aggregate(
+        F.col("_b"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.coalesce(F.element_at(F.col("_wmap"), b), F.lit(0)).cast("long"),
+    )
+    return joined.select(
+        F.col(key_col),
+        F.size("_g").cast("long").alias("n_grams"),
+        score.alias("dsir_q"),
+        F.col("_is_target").alias("is_target"),
+    )

@@ -3817,6 +3817,71 @@ def q91(spark, sf):
     )
 
 
+_Q92_ORACLE = """
+WITH d AS (
+  SELECT doc_id, COALESCE(lang = 'en', FALSE) AS t,
+         list_transform(regexp_extract_all(COALESCE(text, ''), '[A-Za-z0-9]+'),
+                        x -> lower(x)) AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, t,
+         w || list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS grams
+  FROM d
+), eb AS (
+  SELECT doc_id, t,
+         list_transform(grams,
+           x -> CAST(('0x' || substr(md5(x || '#0'), 1, 15))::BIGINT % 1024 AS INT)
+         ) AS bks
+  FROM g
+), ex AS (
+  SELECT t, unnest(bks) AS bucket FROM eb
+), counts AS (
+  SELECT bucket, COUNT(*) AS cr,
+         CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM ex GROUP BY bucket
+), wt AS (
+  SELECT bucket,
+         (length(bin(ct + 1)) - 1) - (length(bin(cr + 1)) - 1) AS wgt
+  FROM counts
+), exd AS (
+  SELECT doc_id, unnest(bks) AS bucket FROM eb
+), s AS (
+  SELECT exd.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(wt.wgt) AS BIGINT) AS dsir_q
+  FROM exd JOIN wt USING (bucket) GROUP BY exd.doc_id
+)
+SELECT eb.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.dsir_q, 0) AS dsir_q, eb.t AS is_target
+FROM eb LEFT JOIN s ON eb.doc_id = s.doc_id
+"""
+
+
+@register("q92_dsir_importance", _Q92_ORACLE)
+def q92(spark, sf):
+    """DSIR hashed n-gram importance weights (mixing.dsir_weights):
+    score every document by Σ over its uni+bigrams of the quantized
+    log-ratio between target-subset (lang='en') and full-corpus
+    bucket frequencies — the importance-resampling selection signal a
+    pretraining pipeline runs corpus-wide. Integer-log2 quantization
+    (length(bin(x))-1: no float log anywhere) makes every weight and
+    every per-doc sum exact integer arithmetic, so the DuckDB replay
+    is bitwise by construction. Portable md5 bucket hash (the
+    production path keeps xxhash64, same plan). The oracle replays
+    the full two-phase shape: bucket counts → integer weight table →
+    join-and-sum scoring."""
+    from ..operators import mixing as mx
+
+    d = _t(spark, sf, "documents")
+    return mx.dsir_weights(
+        d,
+        F.col("lang") == "en",
+        key_col="doc_id",
+        n_buckets=1024,
+        portable=True,
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 5)
 # =====================================================================
@@ -3832,14 +3897,15 @@ def q91(spark, sf):
 # row across r1-r4.
 #
 # Round 5: the 33 legs whose last driver row is r3 (q01-q13, q22-q24,
-# q26, q28-q31, q36-q44, q50-q51, q53) go first, then the five round-5
+# q26, q28-q31, q36-q44, q50-q51, q53) go first, then the six round-5
 # additions (q87 table-centroid SemDeDup, q88 legacy coercion,
-# q89/q90/q91 HTML DOM extraction — never checked), then 12 repeats
-# from the r4-green set biased toward the code this round touched
-# (semantic-dedup/IVF family, the near-dup ladder) and the graft
-# tier's hardest legs. The 38 that fall out keep their r4 rows on
-# record and remain covered by the local type-strict gate
-# (tests/test_entry_oracle.py runs ALL entries) and by bench.py.
+# q89/q90/q91 HTML DOM extraction, q92 DSIR importance — never
+# checked), then 11 repeats from the r4-green set biased toward the
+# code this round touched (semantic-dedup/IVF family, the near-dup
+# ladder) and the graft tier's hardest legs. The 39 that fall out
+# keep their r4 rows on record and remain covered by the local
+# type-strict gate (tests/test_entry_oracle.py runs ALL entries) and
+# by bench.py.
 _DRIVER_WINDOW: list[str] = [
     # stale-first: last driver row was round 3 (33)
     "q01_pricing_summary",
@@ -3875,13 +3941,14 @@ _DRIVER_WINDOW: list[str] = [
     "q50_content_line_filter",
     "q51_title_override",
     "q53_export_table_counts",
-    # round-5 additions, never driver-checked (5)
+    # round-5 additions, never driver-checked (6)
     "q87_semantic_dedup_table",
     "q88_legacy_chunk_coercion",
     "q89_html_main_extract",
     "q90_html_content_spans",
     "q91_boilerplate_stats",
-    # repeats from the r4-green set (12): the semantic-dedup/IVF
+    "q92_dsir_importance",
+    # repeats from the r4-green set (11): the semantic-dedup/IVF
     # family this round's centroid work touched, the near-dup ladder,
     # and the stateful/extraction legs with the most regression risk
     "q86_semantic_dedup",
@@ -3895,7 +3962,6 @@ _DRIVER_WINDOW: list[str] = [
     "q76_duplicate_clusters",
     "q73_decontaminate",
     "q55_greedy_fuzzy_validate",
-    "q21_validation_counts",
 ]
 
 

@@ -42,6 +42,7 @@ SUBSET = [
     "q89_html_main_extract",
     "q90_html_content_spans",
     "q91_boilerplate_stats",
+    "q92_dsir_importance",
 ]
 
 

