@@ -3882,6 +3882,23 @@ def q92(spark, sf):
     )
 
 
+@register("q92x_dsir_xxhash", bench_only=True)
+def q92x(spark, sf):
+    """Production twin of q92: xxhash64 gram buckets instead of the
+    md5-derived portable hash DuckDB can replay. Values are checked
+    through q92 (identical plan, different hash); this twin exists so
+    bench.py times the hash that actually ships (measured ~1.5× the
+    portable leg at sf0.1 — the remainder is the inherent two-pass
+    gram tokenization, which the weights_table production path
+    collapses to one)."""
+    from ..operators import mixing as mx
+
+    d = _t(spark, sf, "documents")
+    return mx.dsir_weights(
+        d, F.col("lang") == "en", key_col="doc_id", n_buckets=1024, portable=False
+    )
+
+
 # =====================================================================
 # Driver-window rotation (round 5)
 # =====================================================================

@@ -322,3 +322,50 @@ def test_ivf_assign_table_scales_in_k(spark):
     # plan-build + execute stays interactive at k=4096 (the literal
     # path takes minutes to even ANALYZE here)
     assert elapsed < 60, f"table assignment too slow at k=4096: {elapsed:.1f}s"
+
+
+def test_html_extract_legs_scan_shaped(spark):
+    """q89/q90 (r5): render + DOM-strip must be pure scan passes — the
+    parquet scan pruned to (doc_id, text), zero Exchanges, and no
+    join of any kind. This is the plan the north rule needs at 10^12
+    pages: the heavy html bytes exist only inside the pipeline, are
+    produced and consumed in the same task, and never shuffle."""
+    for name in ("q89_html_main_extract", "q90_html_content_spans"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+        scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+        assert "doc_id" in scan and "text" in scan, scan
+        assert "lang" not in scan and "source" not in scan, scan
+
+
+def test_dsir_scoring_is_scan_shaped(spark):
+    """q92 (r5): the corpus-side scoring pass must not shuffle — the
+    only Exchanges belong to the bounded bucket-count/weight-table
+    build (n_buckets rows), and the weight map reaches the corpus via
+    a 1-row broadcast, never a per-gram join. With weights_table
+    supplied (the production sample-trained path), the WHOLE job is
+    one scan: no Exchange on the corpus lineage at all."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import mixing as mx
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tab = spark.createDataFrame([(0, 1), (1, -1)], "bucket int, w int")
+    out = mx.dsir_weights(
+        docs, F.col("lang") == "en", key_col="doc_id", n_buckets=2,
+        portable=True, weights_table=tab,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # corpus side: broadcast of the 1-row packed map, zero wide exchanges
+    assert "BroadcastNestedLoopJoin" in plan
+    corpus_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in corpus_side
+    # inline path: exactly one wide exchange (the bucket-count agg)
+    inline = mx.dsir_weights(
+        docs, F.col("lang") == "en", key_col="doc_id", n_buckets=64, portable=True
+    )
+    iplan = inline._jdf.queryExecution().executedPlan().toString()
+    assert iplan.count("Exchange hashpartitioning") == 1, iplan.count(
+        "Exchange hashpartitioning"
+    )
