@@ -16,7 +16,15 @@ The standard pre-training data hygiene pass, end to end:
       banded, hot-bucket-capped, optional;
       --transitive-near-dups closes pairs into
       clusters and keeps one canonical doc)     (bucketed, no O(n²))
+    → dedup vs HISTORY (--history-dedup):
+      exact via stored md5 fps, near via
+      banded-LSH join against the persisted
+      signature store — historical text is
+      never re-read; the store self-bootstraps
+      and self-heals from the curated table     (state ∝ docs, tiny)
     → append curated rows to <outdir>/curated   (the checkpoint)
+    → append survivor (url, fp, signature) to
+      <outdir>/fingerprints                     (the dedup state)
     → stage-funnel metrics JSON                 (counts + drop rates)
 
 Same checkpoint/resume contract as jobs/extract.py: the curated table
@@ -65,6 +73,49 @@ def _read_or_none(spark, path: str, snapshots: bool):
     return spark.read.parquet(path) if Path(path).exists() else None
 
 
+def _heal_store(spark, store_path: str, cur_tbl, store_tbl, snapshots: bool):
+    """Make the fingerprint store catch up to the curated table.
+
+    The store is appended AFTER the curated commit, so a crash in the
+    window leaves curated urls with no stored signature — an
+    under-drop for future batches, never corruption. Heal on the next
+    history-dedup run: recompute (fp, signature) from the curated
+    table's own text for exactly the missing urls and append. Cost is
+    ∝ the missing batch (an anti-join over url sets plus one
+    signature pass over the missing rows), never the corpus."""
+    from pdf_parser_spark.operators import dedup as dd
+
+    missing = cur_tbl.join(
+        store_tbl.select("url"), on="url", how="left_anti"
+    ).select("url", "text")
+    n_missing = missing.count()
+    if n_missing == 0:
+        return store_tbl, 0
+    healed = dd.doc_signatures(missing, text_col="text", key_col="url")
+    _append_store(spark, healed, store_path, snapshots)
+    # re-read rather than union: the append invalidated/extended the
+    # path, and unioning the pre-append read on top of a re-listed
+    # scan would double the healed rows
+    return _read_or_none(spark, store_path, snapshots), n_missing
+
+
+def _append_store(spark, sigs, store_path: str, snapshots: bool) -> int:
+    rows = sigs.select("url", "fp", "signature")
+    n = rows.count()
+    if n == 0:
+        return 0
+    if snapshots:
+        from pdf_parser_spark.sinks import snapshots as sn
+
+        sn.commit(
+            spark, rows, store_path,
+            summary={"job": "curate", "table": "fingerprints"},
+        )
+    else:
+        rows.write.mode("append").parquet(store_path)
+    return n
+
+
 def run(
     input_path: str,
     outdir: str,
@@ -76,6 +127,7 @@ def run(
     snapshots: bool = False,
     input_format: str = "parquet",
     transitive_near_dups: bool = False,
+    history_dedup: bool = False,
 ) -> dict:
     from pdf_parser_spark.fsutil import ensure_local_path
 
@@ -89,7 +141,7 @@ def run(
         return _run(
             input_path, outdir, spark, resume, near_dups,
             near_dup_threshold, quarantine, caches, snapshots, input_format,
-            transitive_near_dups,
+            transitive_near_dups, history_dedup,
         )
     finally:
         for c in caches:
@@ -111,11 +163,13 @@ def _run(
     snapshots: bool = False,
     input_format: str = "parquet",
     transitive_near_dups: bool = False,
+    history_dedup: bool = False,
 ) -> dict:
     t0 = time.perf_counter()
     out = Path(outdir)
     curated_path = str(out / "curated")
     quarantine_path = str(out / "quarantine")
+    store_path = str(out / "fingerprints")
 
     stage_secs: dict[str, float] = {}
 
@@ -170,7 +224,17 @@ def _run(
             q_seen = q_tbl.select("url")
             seen = q_seen if seen is None else seen.unionByName(q_seen)
         if seen is not None:
-            docs = docs.join(seen.distinct(), on="url", how="left_anti")
+            # localCheckpoint cuts the parquet-path lineage: this run
+            # APPENDS to the curated/quarantine dirs below, and a write
+            # to a path invalidates every cached plan that references
+            # it — without the checkpoint, each post-write action
+            # (store append, late metrics) silently re-evaluates the
+            # anti-join against the re-listed dirs, which now contain
+            # this very batch, and the whole funnel re-derives as
+            # EMPTY. Checkpoint cost is one materialization of the
+            # url set — data the anti-join was about to shuffle anyway.
+            seen = seen.distinct().localCheckpoint()
+            docs = docs.join(seen, on="url", how="left_anti")
 
     # persist the flagged stage: the funnel agg below materializes it
     # once, and every later consumer (survivor build, quarantine side
@@ -231,6 +295,71 @@ def _run(
         survivors = survivors.join(losers, on="url", how="left_anti")
         t = _mark("near_dups", t)
 
+    # --- dedup against HISTORY (incremental ingest) -------------------
+    # Each new Common-Crawl-style dump repeats earlier dumps heavily;
+    # within-batch dedup alone readmits every cross-batch duplicate.
+    # The fingerprints store holds (url, fp, signature) per curated
+    # doc — a few hundred bytes/doc, so at 10^12 docs the state is
+    # ~1-3% of corpus bytes and new batches join against IT, never
+    # against historical text: exact twins via the md5 fp, near-dups
+    # via banded-LSH bucket join + signature-agreement Jaccard
+    # estimate (operators/dedup.near_dups_vs_history).
+    n_hist_exact = n_hist_near = healed = n_appended = 0
+    hist_exact_hits = hist_near_hits = new_sigs = None
+    if history_dedup:
+        new_sigs = dd.doc_signatures(survivors, text_col="text", key_col="url").persist()
+        caches.append(new_sigs)
+        hist = _read_or_none(spark, store_path, snapshots)
+        cur_tbl = _read_or_none(spark, curated_path, snapshots)
+        if cur_tbl is not None:
+            if hist is None:
+                # store enabled mid-life: build it from the curated
+                # table (the source of truth) before using it
+                boot = dd.doc_signatures(
+                    cur_tbl.select("url", "text"), text_col="text", key_col="url"
+                )
+                _append_store(spark, boot, store_path, snapshots)
+                hist = _read_or_none(spark, store_path, snapshots)
+                healed = -1  # marker: full bootstrap, not a crash heal
+            else:
+                hist, healed = _heal_store(
+                    spark, store_path, cur_tbl.select("url", "text"), hist, snapshots
+                )
+        if hist is not None:
+            hist = hist.select("url", "fp", "signature")
+            hist_exact_hits = (
+                new_sigs.join(
+                    hist.select("fp").distinct(), on="fp", how="left_semi"
+                )
+                .select("url")
+                .persist()
+            )
+            caches.append(hist_exact_hits)
+            n_hist_exact = hist_exact_hits.count()
+            remaining = new_sigs.join(hist_exact_hits, on="url", how="left_anti")
+            hist_near_hits = (
+                dd.near_dups_vs_history(
+                    remaining, hist, key_col="url", threshold=near_dup_threshold
+                )
+                .select("url")
+                .distinct()
+                .persist()
+            )
+            caches.append(hist_near_hits)
+            n_hist_near = hist_near_hits.count()
+            survivors = survivors.join(
+                hist_exact_hits, on="url", how="left_anti"
+            ).join(hist_near_hits, on="url", how="left_anti")
+        # pin the final survivor url set NOW: the curated append below
+        # changes what the resume anti-join sees on re-evaluation, so
+        # any post-write re-derivation of `survivors` silently comes
+        # back empty (lazy lineage re-lists the parquet dir). The
+        # store append must read THIS materialized set.
+        survivor_urls = survivors.select("url").persist()
+        caches.append(survivor_urls)
+        survivor_urls.count()
+        t = _mark("history_dedup", t)
+
     if quarantine:
         # dropped rows never vanish: (url, reason) rows land in an
         # accountable side table so a threshold change is auditable and
@@ -256,6 +385,14 @@ def _run(
         if losers is not None:
             q_all = q_all.unionByName(
                 losers.select("url", F.lit("near_dup").alias("reason"))
+            )
+        if hist_exact_hits is not None:
+            q_all = q_all.unionByName(
+                hist_exact_hits.select("url", F.lit("exact_dup_history").alias("reason"))
+            )
+        if hist_near_hits is not None:
+            q_all = q_all.unionByName(
+                hist_near_hits.select("url", F.lit("near_dup_history").alias("reason"))
             )
         if snapshots:
             from pdf_parser_spark.sinks import snapshots as sn
@@ -283,6 +420,15 @@ def _run(
     t = _mark("curated_write", t)
     n_curated = cur_all.select("url").distinct().count()
 
+    if history_dedup and new_sigs is not None:
+        # the store tracks the CURATED set: append signatures for this
+        # batch's final survivors only (post-history-drop). Appended
+        # after the curated commit, so a crash here under-drops later
+        # batches at worst; _heal_store repairs it on the next run.
+        final_sigs = new_sigs.join(survivor_urls, on="url", how="left_semi")
+        n_appended = _append_store(spark, final_sigs, store_path, snapshots)
+        t = _mark("fingerprint_store", t)
+
     n_new = funnel["n_new"] or 0
     n_exact_dropped = (n_new - (funnel["drop_gopher"] or 0) - (funnel["drop_dup_lines"] or 0)) - n_after_exact
     metrics = {
@@ -296,7 +442,12 @@ def _run(
         "near_dup_mode": (
             ("transitive" if transitive_near_dups else "pairwise") if near_dups else "off"
         ),
-        "newly_curated": n_after_exact - n_near_dropped,
+        "history_dedup": history_dedup,
+        "dropped_exact_dup_history": n_hist_exact,
+        "dropped_near_dup_history": n_hist_near,
+        "store_healed_docs": healed,
+        "store_appended_docs": n_appended,
+        "newly_curated": n_after_exact - n_near_dropped - n_hist_exact - n_hist_near,
         "total_curated": n_curated,
         "wall_sec": round(time.perf_counter() - t0, 2),
         "stage_secs": stage_secs,
@@ -324,6 +475,15 @@ def main() -> None:
     )
     ap.add_argument("--snapshots", action="store_true")
     ap.add_argument("--input-format", choices=("parquet", "warc"), default="parquet")
+    ap.add_argument(
+        "--history-dedup",
+        action="store_true",
+        help="also drop new docs that exactly or nearly duplicate PREVIOUSLY "
+        "curated ones, via the <outdir>/fingerprints signature store "
+        "(md5 fp + MinHash signature per curated doc; no historical text "
+        "is ever re-read). Bootstraps/heals the store from the curated "
+        "table automatically.",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
     spark = get_spark(app_name="curate", cpus=args.cpus)
@@ -339,6 +499,7 @@ def main() -> None:
                 snapshots=args.snapshots,
                 input_format=args.input_format,
                 transitive_near_dups=args.transitive_near_dups,
+                history_dedup=args.history_dedup,
             )
         )
     )

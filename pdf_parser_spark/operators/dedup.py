@@ -110,6 +110,46 @@ def minhash_signatures(
     )
 
 
+def banded_buckets(
+    signatures: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(key, band, band_hash) — each signature split into `bands`
+    contiguous slices, each slice hashed to one bucket key. The shared
+    banding projection behind lsh_candidate_pairs (within-corpus
+    self-join) and near_dups_vs_history (new-batch vs stored-signature
+    join): both sides of any LSH join MUST band identically or buckets
+    never collide, so the projection lives in exactly one place."""
+    band_hash_fn = (lambda c: portable_hash64(c, 0)) if portable else F.xxhash64
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    return (
+        signatures.select(
+            key_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        band_hash_fn(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("signature"), b * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("bh"),
+        ).select(key_col, "bh.band", "bh.band_hash")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     key_col: str = "doc_id",
@@ -129,28 +169,7 @@ def lsh_candidate_pairs(
     costs one extra hash agg on the already-shuffled (band, band_hash)
     key (co-partitioned, map-side combined).
     """
-    band_hash_fn = (lambda c: portable_hash64(c, 0)) if portable else F.xxhash64
-    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
-    banded = signatures.select(
-        key_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    band_hash_fn(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bh"),
-    ).select(key_col, "bh.band", "bh.band_hash")
+    banded = banded_buckets(signatures, key_col=key_col, bands=bands, portable=portable)
     if max_bucket_size is not None:
         ok_buckets = (
             banded.groupBy("band", "band_hash")
@@ -294,6 +313,115 @@ def near_dup_pairs_minhash(
         .withColumn("jaccard", F.when(union == 0, F.lit(0.0)).otherwise(inter / union))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def doc_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    portable: bool = False,
+) -> DataFrame:
+    """(key, fp, signature) — the per-document dedup STATE a corpus
+    store persists instead of text: an exact md5 content fingerprint
+    plus the MinHash signature. ~num_hashes longs + 32 hex chars per
+    doc (a few hundred bytes — ~1-3% of typical web-page text), which
+    is what makes dedup-against-history tractable at 10^12 docs: new
+    batches join against this table, never against historical text.
+    Unshingleable documents (empty/whitespace text) keep a NULL
+    signature — NOT a shared sentinel, which would make every such doc
+    a spurious est=1.0 near-dup of every other. Near-dup passes filter
+    NULL signatures out; the exact fp still covers those docs."""
+    sets_df = shingle_sets(df, text_col, key_col, n=shingle_n)
+    exploded = sets_df.select(key_col, F.explode("sh").alias("shingle"))
+    sigs = minhash_signatures(
+        exploded, key_col=key_col, num_hashes=num_hashes, portable=portable
+    )
+    return df.select(key_col, fingerprint(F.col(text_col)).alias("fp")).join(
+        sigs, on=key_col, how="left"
+    )
+
+
+def near_dups_vs_history(
+    new_sigs: DataFrame,
+    hist_sigs: DataFrame,
+    key_col: str = "url",
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """New-batch documents that near-duplicate PREVIOUSLY-STORED ones:
+    (key, hist_key, est_jaccard) with est_jaccard >= threshold.
+
+    The incremental-ingest dedup step (each Common Crawl dump repeats
+    earlier dumps heavily): both sides are (key, signature) frames —
+    the new batch's from its text, history's from the persisted store
+    — banded IDENTICALLY by banded_buckets, joined on (band,
+    band_hash) so the shuffle key is the bucket, never the signature
+    or text. Jaccard is then ESTIMATED by signature agreement
+    (matching components / num_hashes — the unbiased MinHash
+    estimator, σ = sqrt(t(1-t)/k)), because exact shingle
+    verification would require historical text the store deliberately
+    does not keep. With k=32 at t=0.8 σ≈0.07: callers wanting the
+    exact-verify semantics within a batch keep near_dup_pairs_minhash;
+    against history the estimator IS the design point.
+
+    Hot buckets (identical-boilerplate cliques) are capped on EACH
+    side independently before the join — a degenerate historical
+    bucket must not fan every future batch out against it.
+    Self-pairs (same key on both sides — a resumed batch re-checking
+    itself against a store it already reached) are excluded, and NULL
+    signatures (unshingleable docs, see doc_signatures) never pair."""
+    new_sigs = new_sigs.where(F.col("signature").isNotNull())
+    hist_sigs = hist_sigs.where(F.col("signature").isNotNull())
+    nb = banded_buckets(new_sigs, key_col=key_col, bands=bands, portable=portable)
+    hb = banded_buckets(hist_sigs, key_col=key_col, bands=bands, portable=portable)
+    if max_bucket_size is not None:
+        for side in ("nb", "hb"):
+            frame = nb if side == "nb" else hb
+            ok = (
+                frame.groupBy("band", "band_hash")
+                .agg(F.count("*").alias("n"))
+                .where(F.col("n") <= max_bucket_size)
+                .select("band", "band_hash")
+            )
+            capped = frame.join(ok, on=["band", "band_hash"], how="left_semi")
+            if side == "nb":
+                nb = capped
+            else:
+                hb = capped
+    cands = (
+        nb.alias("a")
+        .join(
+            hb.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{key_col}") != F.col(f"b.{key_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("_k_new"), F.col(f"b.{key_col}").alias("hist_" + key_col)
+        )
+        .distinct()
+    )
+    sa = new_sigs.select(F.col(key_col).alias("_k_new"), F.col("signature").alias("_sig_a"))
+    sb = hist_sigs.select(
+        F.col(key_col).alias("hist_" + key_col), F.col("signature").alias("_sig_b")
+    )
+    agree = F.size(
+        F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    est = agree.cast("double") / F.size("_sig_a")
+    return (
+        cands.join(sa, "_k_new")
+        .join(sb, "hist_" + key_col)
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select(F.col("_k_new").alias(key_col), "hist_" + key_col, "est_jaccard")
     )
 
 

@@ -91,6 +91,7 @@ def test_every_query_has_docstringed_callable(contract):
         "q34_simhash_near_dups",
         "q35_ann_topk",
         "q48x_winnowing_xxhash",
+        "q92x_dsir_xxhash",
     }
     assert not (set(BENCH_QUERIES) & set(qs))
 

@@ -569,3 +569,109 @@ def test_curate_transitive_near_dups_drops_whole_cluster(spark, tmp_path):
     q = spark.read.parquet(str(tmp_path / "out_tr" / "quarantine"))
     near = {r["url"] for r in q.where(q.reason == "near_dup").collect()}
     assert near == {"http://b.example/x", "http://c.example/x"}
+
+
+def test_curate_history_dedup_across_batches(spark, tmp_path):
+    """--history-dedup (r5): a second batch's documents that exactly or
+    nearly duplicate PREVIOUSLY curated ones are dropped via the
+    fingerprints signature store — without re-reading historical text
+    — and land in quarantine under their own reasons."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate import run as run_curate
+
+    out = str(tmp_path / "hout")
+    batch1 = str(tmp_path / "b1.parquet")
+    docs1 = synthetic_documents(spark, 16, seed=7)
+    write_documents(docs1, batch1)
+    first = run_curate(
+        batch1, out, spark=spark, resume=False, near_dups=False, history_dedup=True
+    )
+    assert first["newly_curated"] > 2
+    store = spark.read.parquet(str(Path(out) / "fingerprints"))
+    assert store.count() == first["newly_curated"]
+    assert set(store.columns) == {"url", "fp", "signature"}
+
+    # batch 2: an exact twin and a near twin of two CURATED batch-1
+    # docs (new urls), plus genuinely new docs
+    curated = spark.read.parquet(str(Path(out) / "curated"))
+    two = curated.orderBy("url").limit(2).collect()
+    exact_twin = spark.createDataFrame(
+        [("twin-exact", two[0]["warc_ts"], two[0]["html"], two[0]["text"], two[0]["lang"])],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    near_twin = spark.createDataFrame(
+        [
+            (
+                "twin-near",
+                two[1]["warc_ts"],
+                two[1]["html"],
+                two[1]["text"] + " appended trailing sentence.",
+                two[1]["lang"],
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    fresh = synthetic_documents(spark, 30, seed=99).where(
+        F.length("text") >= 600
+    ).limit(4)
+    batch2 = str(tmp_path / "b2.parquet")
+    exact_twin.unionByName(near_twin).unionByName(
+        fresh.select("url", "warc_ts", "html", "text", "lang")
+    ).write.parquet(batch2)
+
+    second = run_curate(
+        batch2, out, spark=spark, resume=True, near_dups=False, history_dedup=True
+    )
+    assert second["dropped_exact_dup_history"] >= 1
+    assert second["dropped_near_dup_history"] >= 1
+    q = spark.read.parquet(str(Path(out) / "quarantine"))
+    reasons = {r["url"]: r["reason"] for r in q.collect()}
+    assert reasons.get("twin-exact") == "exact_dup_history"
+    assert reasons.get("twin-near") == "near_dup_history"
+    # the store grew by exactly the batch's final survivors
+    store2 = spark.read.parquet(str(Path(out) / "fingerprints"))
+    assert store2.count() == first["newly_curated"] + second["newly_curated"]
+    # twins never reached the curated table
+    cur2 = spark.read.parquet(str(Path(out) / "curated"))
+    assert cur2.where(F.col("url").isin("twin-exact", "twin-near")).count() == 0
+
+
+def test_curate_history_store_bootstrap_and_heal(spark, tmp_path):
+    """Turning --history-dedup on mid-life (or losing the store to a
+    crash) must self-repair from the curated table: the store is
+    rebuilt and cross-batch twins are still caught."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate import run as run_curate
+
+    out = str(tmp_path / "hout2")
+    batch1 = str(tmp_path / "hb1.parquet")
+    write_documents(synthetic_documents(spark, 12, seed=3), batch1)
+    # first run WITHOUT history dedup: no store is written
+    first = run_curate(batch1, out, spark=spark, resume=False, near_dups=False)
+    assert not (Path(out) / "fingerprints").exists()
+
+    curated = spark.read.parquet(str(Path(out) / "curated"))
+    src = curated.orderBy("url").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [("boot-twin", src["warc_ts"], src["html"], src["text"], src["lang"])],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    batch2 = str(tmp_path / "hb2.parquet")
+    twin.write.parquet(batch2)
+
+    second = run_curate(
+        batch2, out, spark=spark, resume=True, near_dups=False, history_dedup=True
+    )
+    # store bootstrapped from the curated table (marker -1), twin caught
+    assert second["store_healed_docs"] == -1
+    assert second["dropped_exact_dup_history"] == 1
+    store = spark.read.parquet(str(Path(out) / "fingerprints"))
+    assert store.count() == first["newly_curated"]  # twin itself was dropped
+    assert (
+        spark.read.parquet(str(Path(out) / "curated"))
+        .where(F.col("url") == "boot-twin")
+        .count()
+        == 0
+    )

@@ -872,3 +872,34 @@ def test_semantic_dedup_pandas_assign_parity(spark):
     a = rows(dd.semantic_dedup(emb, cdf, threshold=0.35))
     b = rows(dd.semantic_dedup(emb, cdf, threshold=0.35, pandas_assign=True))
     assert a == b and len(a) > 0
+
+
+def test_near_dups_vs_history_null_signatures_never_pair(spark):
+    """Unshingleable docs (empty/whitespace text) carry NULL
+    signatures in doc_signatures — they must never band-collide with
+    each other (a shared sentinel would make every short doc an
+    est=1.0 'near-dup' of every other), while real near-dups across
+    the batch/history split are found and self-urls are excluded."""
+    from pdf_parser_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    hist_docs = spark.createDataFrame(
+        [("h1", base), ("h2", ""), ("h3", "unrelated words entirely " * 8)],
+        "url string, text string",
+    )
+    new_docs = spark.createDataFrame(
+        [
+            ("n1", base + " appended tail"),   # near-dup of h1
+            ("n2", ""),                        # empty: unshingleable
+            ("h1", base),                      # same url as history: excluded
+        ],
+        "url string, text string",
+    )
+    hist = dd.doc_signatures(hist_docs, text_col="text", key_col="url")
+    new = dd.doc_signatures(new_docs, text_col="text", key_col="url")
+    assert hist.where("signature IS NULL").count() == 1  # h2
+    out = dd.near_dups_vs_history(new, hist, key_col="url", threshold=0.5).collect()
+    got = {(r["url"], r["hist_url"]) for r in out}
+    assert ("n1", "h1") in got
+    assert all(u != "n2" and h != "h2" for u, h in got)  # NULLs never pair
+    assert ("h1", "h1") not in got  # self-url excluded
