@@ -67,6 +67,16 @@ def ship_package(spark: SparkSession) -> None:
     import hashlib
 
     pkg_dir = pathlib.Path(__file__).resolve().parent.parent
+    if not pkg_dir.is_dir():
+        # Imported from a zip already (spark-submit --py-files puts the
+        # archive itself on the driver's path): rglob over a zip member
+        # path yields nothing, so re-ship the containing archive verbatim
+        # instead of building an empty one.
+        s = str(pkg_dir)
+        idx = s.lower().rfind(".zip")
+        if idx != -1:
+            spark.sparkContext.addPyFile(s[: idx + 4])
+        return
     files = sorted(pkg_dir.rglob("*.py"))
     # cache key = content fingerprint, NOT pid: a recycled pid (or a
     # prior round's process) must never ship a stale zip of old code

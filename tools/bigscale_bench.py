@@ -418,6 +418,81 @@ def main() -> None:
 
     leg("corpus_profile", profile_leg)
 
+    # --- cross-batch history dedup (curation job, r5) ----------------
+    def history_dedup_leg():
+        """Two-batch curation with --history-dedup: batch 1 builds the
+        fingerprint store, batch 2 arrives with planted cross-batch
+        twins of CURATED batch-1 docs (exact re-keys and appended-
+        suffix near-copies) plus genuinely fresh docs. Recall is
+        asserted — a silent history-join regression fails the bench."""
+        import shutil
+
+        from jobs.curate import run as run_curate
+
+        n1 = int(args.docs * 0.8)
+        outdir = f"/tmp/bigscale_hist_out_{args.docs}"
+        b1 = f"/tmp/bigscale_hist_b1_{args.docs}.parquet"
+        b2 = f"/tmp/bigscale_hist_b2_{args.docs}.parquet"
+        shutil.rmtree(outdir, ignore_errors=True)
+        base = docs.limit(n1).cache()
+        base.write.mode("overwrite").parquet(b1)
+        r1 = run_curate(
+            b1, outdir, spark=spark, resume=False, near_dups=False, history_dedup=True
+        )
+        curated = spark.read.parquet(f"{outdir}/curated")
+        tw = curated.where(F.length("text") >= 400).orderBy("url").limit(1000).cache()
+        exact_tw = tw.where(F.crc32("url") % 2 == 0).withColumn(
+            "url", F.concat(F.col("url"), F.lit("#xd"))
+        )
+        near_tw = (
+            tw.where(F.crc32("url") % 2 == 1)
+            .withColumn("url", F.concat(F.col("url"), F.lit("#nd")))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" bigscale planted suffix")))
+        )
+        n_exact, n_near = exact_tw.count(), near_tw.count()
+        fresh = docs.join(base.select("url"), "url", "left_anti")
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        fresh.select(cols).unionByName(exact_tw.select(cols)).unionByName(
+            near_tw.select(cols)
+        ).write.mode("overwrite").parquet(b2)
+        r2 = run_curate(
+            b2, outdir, spark=spark, resume=True, near_dups=False, history_dedup=True
+        )
+        q = spark.read.parquet(f"{outdir}/quarantine")
+        found_exact = q.where(
+            (F.col("reason") == "exact_dup_history") & F.col("url").endswith("#xd")
+        ).count()
+        found_near = q.where(
+            (F.col("reason") == "near_dup_history") & F.col("url").endswith("#nd")
+        ).count()
+        store_n = spark.read.parquet(f"{outdir}/fingerprints").count()
+        extra = results["legs"].setdefault("curate_history_dedup", {})
+        extra.update(
+            {
+                "batch1_docs": n1,
+                "batch1_sec": r1["wall_sec"],
+                "batch2_docs": r2["input_docs"],
+                "batch2_sec": r2["wall_sec"],
+                "planted_exact": n_exact,
+                "found_exact": found_exact,
+                "planted_near": n_near,
+                "found_near": found_near,
+                "dropped_exact_history": r2["dropped_exact_dup_history"],
+                "dropped_near_history": r2["dropped_near_dup_history"],
+                "store_docs": store_n,
+                "note": "history joins touch only the fingerprint store "
+                "(md5 fp + 32-long signature per curated doc), never "
+                "historical text; recall asserted on both twin families",
+            }
+        )
+        assert found_exact == n_exact, f"exact history recall {found_exact}/{n_exact}"
+        assert found_near == n_near, f"near history recall {found_near}/{n_near}"
+        base.unpersist()
+        tw.unpersist()
+        return r2["newly_curated"]
+
+    leg("curate_history_dedup", history_dedup_leg)
+
     # --- webtext hygiene chain (scan-shaped) -------------------------
     def webtext():
         flagged = wf.pii_redact(wf.line_dup_stats(wf.gopher_quality_flags(docs)))
