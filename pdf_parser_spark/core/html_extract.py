@@ -154,6 +154,87 @@ def segment_blocks(html: str | bytes | None) -> list[Block]:
     return [b for b in parser.state.blocks if b.n_chars > 0]
 
 
+METADATA_FIELDS = (
+    "title",
+    "lang",
+    "description",
+    "canonical",
+    "og_title",
+    "og_description",
+)
+
+
+class _MetadataParser(HTMLParser):
+    """Head-metadata harvester: <title> text, <html lang>, meta
+    description / og:title / og:description, canonical link. First
+    occurrence wins for every field (the de-facto crawler rule — a
+    second <title> deeper in a malformed page never overrides the
+    head's). convert_charrefs + HTMLParser's attribute decoding give
+    entity-unescaped values for free."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.meta: dict[str, str] = {}
+        self._in_title = False
+        self._title_done = False
+        self._title_parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        a = {(k or "").lower(): ("" if v is None else v) for k, v in attrs}
+        if tag == "html" and a.get("lang"):
+            self.meta.setdefault("lang", a["lang"].strip())
+        elif tag == "title" and not self._title_done:
+            self._in_title = True
+        elif tag == "meta":
+            name = (a.get("name") or a.get("property") or "").lower()
+            content = a.get("content")
+            if content is None:
+                return
+            if name == "description":
+                self.meta.setdefault("description", content)
+            elif name == "og:title":
+                self.meta.setdefault("og_title", content)
+            elif name == "og:description":
+                self.meta.setdefault("og_description", content)
+        elif tag == "link":
+            if "canonical" in a.get("rel", "").lower().split() and a.get("href"):
+                self.meta.setdefault("canonical", a["href"].strip())
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag.lower() == "title" and self._in_title:
+            self._in_title = False
+            self._title_done = True
+            self.meta.setdefault("title", "".join(self._title_parts).strip())
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_parts.append(data)
+
+
+def extract_metadata(html: str | bytes | None) -> dict[str, str | None]:
+    """Head metadata of a page as {field: value-or-None} over
+    METADATA_FIELDS. Tolerant of truncated/malformed markup (a page
+    cut mid-<title> keeps the captured prefix). Fields are reported
+    RAW — no cross-field fallback; callers coalesce(title, og_title)
+    themselves so the provenance of a title stays visible."""
+    out: dict[str, str | None] = {k: None for k in METADATA_FIELDS}
+    if html is None:
+        return out
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    parser = _MetadataParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    if "title" not in parser.meta and parser._title_parts:
+        parser.meta["title"] = "".join(parser._title_parts).strip()
+    out.update(parser.meta)
+    return out
+
+
 def classify_block(
     block: Block,
     max_link_density: float = DEFAULT_MAX_LINK_DENSITY,

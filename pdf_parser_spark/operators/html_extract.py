@@ -32,7 +32,13 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..core.html_extract import classify_block, extract_main_text, segment_blocks
+from ..core.html_extract import (
+    METADATA_FIELDS,
+    classify_block,
+    extract_main_text,
+    extract_metadata,
+    segment_blocks,
+)
 
 BLOCK_SCHEMA = T.StructType(
     [
@@ -159,6 +165,37 @@ def html_content_spans(
             yield pd.DataFrame(rows, columns=[f.name for f in SPAN_SCHEMA.fields])
 
     return docs.select("url", "html").mapInPandas(run, schema=SPAN_SCHEMA)
+
+
+METADATA_SCHEMA = T.StructType(
+    [T.StructField("url", T.StringType())]
+    + [T.StructField(f, T.StringType()) for f in METADATA_FIELDS]
+)
+
+
+def html_metadata(docs: DataFrame) -> DataFrame:
+    """documents → one row per url with head metadata: title, <html
+    lang>, meta description, canonical link, og:title/og:description
+    (missing fields NULL, first occurrence wins, entity-unescaped —
+    core/html_extract.extract_metadata). The standard crawl-pipeline
+    side channel: titles for display/dedup keys, canonical urls for
+    crawl dedup (composes with webtext_filters.canonicalize_url),
+    declared lang to cross-check the n-gram lang-id (q27/q49).
+
+    Plan shape: one scan-local mapInPandas over (url, html) — zero
+    shuffles, rows out == rows in, the html binary never leaves the
+    task; same scale posture as html_main_text above."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in METADATA_SCHEMA.fields]
+        for batch in batches:
+            rows = [
+                {"url": url, **extract_metadata(html)}
+                for url, html in zip(batch["url"], batch["html"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("url", "html").mapInPandas(run, schema=METADATA_SCHEMA)
 
 
 def boilerplate_stats(blocks: DataFrame) -> DataFrame:

@@ -3899,6 +3899,71 @@ def q92x(spark, sf):
     )
 
 
+_Q93_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(doc_id AS VARCHAR) AS title,
+       lang,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Document ' || CAST(doc_id AS VARCHAR) || ' in ' || lang
+       END AS description,
+       'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS canonical,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+       CAST(NULL AS VARCHAR) AS og_description
+FROM documents
+"""
+
+
+@register("q93_html_metadata", _Q93_ORACLE)
+def q93(spark, sf):
+    """Head-metadata harvest (operators/html_extract.html_metadata):
+    title, <html lang>, meta description, canonical link, og:* — the
+    crawl-pipeline side channel next to the main-text path. Spark
+    side renders each document into the synthetic boilerplate HTML
+    with metadata derived from its columns (description deliberately
+    OMITTED for doc_id % 7 == 0 so the NULL/absent path is
+    driver-attested; og:description never set → all-NULL column); the
+    oracle replays every field in closed form, so a green row proves
+    tag/attr harvesting, first-occurrence semantics, entity handling
+    and absent-field NULLs through the real parser."""
+    from ..operators.html_extract import html_metadata
+    from ..plans.session import ship_package
+
+    ship_package(spark)
+
+    @F.pandas_udf(T.BinaryType())
+    def _render_meta(url, text, lang):
+        import pandas as pd
+
+        from ..sources.synth import render_html
+
+        out = []
+        for u, t, lg in zip(url, text, lang):
+            lg = lg if isinstance(lg, str) and lg else None
+            desc = (
+                None
+                if int(u) % 7 == 0 or lg is None
+                else f"Document {u} in {lg}"
+            )
+            out.append(
+                render_html(
+                    u,
+                    (t or "").split("\f"),
+                    lang=lg,
+                    description=desc,
+                    canonical=f"https://example.com/doc/{u}",
+                    og_title=f"Doc {u}",
+                ).encode("utf-8")
+            )
+        return pd.Series(out)
+
+    d = _t(spark, sf, "documents")
+    rendered = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        _render_meta(F.col("doc_id").cast("string"), "text", "lang").alias("html"),
+    )
+    return html_metadata(rendered)
+
+
 # =====================================================================
 # Driver-window rotation (round 5)
 # =====================================================================

@@ -216,19 +216,40 @@ def make_document(doc_id: int, seed: int = 42, mega: bool = False) -> dict:
     }
 
 
-def render_html(url: str, pages: list[str]) -> str:
+def render_html(
+    url: str,
+    pages: list[str],
+    *,
+    lang: str | None = None,
+    description: str | None = None,
+    canonical: str | None = None,
+    og_title: str | None = None,
+) -> str:
     """Wrap page text in boilerplate-laden markup.
 
     The <div class="page"> bodies escape the page text verbatim, so a
     correct DOM-heuristic extractor recovers `text` byte-identically.
+    The optional head-metadata kwargs add <html lang>/<meta>/<link>
+    tags (attribute-escaped); all-default output is byte-identical to
+    the metadata-free form, and meta/link are void tags the block
+    segmenter ignores, so q89/q90 byte/span contracts are unaffected
+    either way.
     """
     nav = "".join(f'<a href="/l{i}">link {i}</a> | ' for i in range(12))
     page_divs = "".join(
         f'<div class="page" data-page="{i + 1}">{_html.escape(p)}</div>'
         for i, p in enumerate(pages)
     )
+    head_extra = ""
+    if description is not None:
+        head_extra += f'<meta name="description" content="{_html.escape(description, quote=True)}">'
+    if og_title is not None:
+        head_extra += f'<meta property="og:title" content="{_html.escape(og_title, quote=True)}">'
+    if canonical is not None:
+        head_extra += f'<link rel="canonical" href="{_html.escape(canonical, quote=True)}">'
+    html_open = f'<html lang="{_html.escape(lang, quote=True)}">' if lang else "<html>"
     return (
-        "<html><head><title>" + _html.escape(url) + "</title>"
+        html_open + "<head><title>" + _html.escape(url) + "</title>" + head_extra +
         "<style>.page{margin:0}</style><script>var t=1;</script></head>"
         f"<body><header><nav>{nav}</nav></header>"
         '<aside><a href="/ad">sponsored</a> buy now cheap deals</aside>'

@@ -174,3 +174,117 @@ def test_fuzz_render_roundtrip_byte_identity():
         assert out == "\f".join(p for p in pages if p)
 
     run()
+
+
+# ---------------------------------------------------------------------
+# head metadata (r5: html_metadata / core.extract_metadata)
+# ---------------------------------------------------------------------
+
+def test_metadata_full_head_with_entities():
+    from pdf_parser_spark.core.html_extract import extract_metadata
+
+    html = (
+        '<html lang="en-US"><head>'
+        "<title>A &amp; B &lt;co&gt;</title>"
+        '<meta name="description" content="best &quot;deals&quot; daily">'
+        '<meta property="og:title" content="OG A &amp; B">'
+        '<meta property="og:description" content="og desc">'
+        '<link rel="canonical" href="https://ex.com/a?x=1&amp;y=2">'
+        "</head><body><p>hi</p></body></html>"
+    )
+    m = extract_metadata(html)
+    assert m["title"] == "A & B <co>"
+    assert m["lang"] == "en-US"
+    assert m["description"] == 'best "deals" daily'
+    assert m["og_title"] == "OG A & B"
+    assert m["og_description"] == "og desc"
+    assert m["canonical"] == "https://ex.com/a?x=1&y=2"
+
+
+def test_metadata_case_quoting_and_rel_list():
+    from pdf_parser_spark.core.html_extract import extract_metadata
+
+    html = (
+        "<HTML LANG='fr'><HEAD><TITLE>  t  </TITLE>"
+        "<META NAME='Description' CONTENT='d1'>"
+        "<LINK REL='alternate canonical' HREF=' https://c ' >"
+        "</HEAD></HTML>"
+    )
+    m = extract_metadata(html)
+    assert m["title"] == "t"  # stripped
+    assert m["lang"] == "fr"
+    assert m["description"] == "d1"
+    assert m["canonical"] == "https://c"
+
+
+def test_metadata_first_occurrence_wins_and_missing_none():
+    from pdf_parser_spark.core.html_extract import extract_metadata
+
+    html = (
+        "<html><head><title>first</title><title>second</title>"
+        '<meta name="description" content="d1">'
+        '<meta name="description" content="d2">'
+        "</head><body><title>body-title</title></body></html>"
+    )
+    m = extract_metadata(html)
+    assert m["title"] == "first"
+    assert m["description"] == "d1"
+    assert m["lang"] is None and m["canonical"] is None
+    assert m["og_title"] is None and m["og_description"] is None
+
+    empty = extract_metadata("<div>no head at all</div>")
+    assert all(v is None for v in empty.values())
+    assert all(v is None for v in extract_metadata(None).values())
+
+
+def test_metadata_truncated_and_hostile_bytes():
+    from pdf_parser_spark.core.html_extract import extract_metadata
+
+    # page cut mid-title: the captured prefix is kept
+    assert extract_metadata("<html><head><title>partial tit")["title"] == "partial tit"
+    # meta without content / link without href are ignored, not crashes
+    m = extract_metadata('<meta name="description"><link rel="canonical" href="">')
+    assert m["description"] is None and m["canonical"] is None
+    assert isinstance(extract_metadata(b"\xff\xfe<title>x</title>")["title"], str)
+
+
+def test_metadata_render_roundtrip_and_default_unchanged():
+    from pdf_parser_spark.core.html_extract import extract_metadata
+    from pdf_parser_spark.sources.synth import render_html
+
+    html = render_html(
+        "u&1",
+        ["page one"],
+        lang="de",
+        description='desc "quoted" & more',
+        canonical="https://example.com/u?a=1&b=2",
+        og_title="OG <u>",
+    )
+    m = extract_metadata(html)
+    assert m["title"] == "u&1"
+    assert m["lang"] == "de"
+    assert m["description"] == 'desc "quoted" & more'
+    assert m["canonical"] == "https://example.com/u?a=1&b=2"
+    assert m["og_title"] == "OG <u>"
+    # all-default render stays metadata-free (q89/q90 byte contracts)
+    plain = render_html("u&1", ["page one"])
+    assert "<meta" not in plain and "<link" not in plain and "<html><head>" in plain
+
+
+def test_html_metadata_operator(spark):
+    import pandas as pd
+
+    from pdf_parser_spark.operators.html_extract import html_metadata
+    from pdf_parser_spark.sources.synth import render_html
+
+    rows = [
+        ("a", render_html("a", ["x"], lang="en", description="da").encode()),
+        ("b", render_html("b", ["y"], canonical="https://ex.com/b").encode()),
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r.asDict() for r in html_metadata(df).collect()}
+    assert out["a"]["title"] == "a" and out["a"]["lang"] == "en"
+    assert out["a"]["description"] == "da" and out["a"]["canonical"] is None
+    assert out["b"]["canonical"] == "https://ex.com/b" and out["b"]["lang"] is None
+    assert all(out["c"][f] is None for f in out["c"] if f != "url")
