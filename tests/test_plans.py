@@ -337,6 +337,12 @@ def test_html_extract_legs_scan_shaped(spark):
         scan = plan[plan.index("ReadSchema") :].splitlines()[0]
         assert "doc_id" in scan and "text" in scan, scan
         assert "lang" not in scan and "source" not in scan, scan
+    # q93 metadata harvest: same scan-pass contract (lang IS read —
+    # it feeds the rendered <html lang> — but n_chars/source are not)
+    plan = plan_of(spark, "q93_html_metadata")
+    assert "Exchange" not in plan and "Join" not in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "n_chars" not in scan and "source" not in scan, scan
 
 
 def test_dsir_scoring_is_scan_shaped(spark):
