@@ -11,6 +11,7 @@ entries), re-expressed over corpus tables instead of one PDF:
   python -m pdf_parser_spark toc-graph --input docs.parquet --out graph/
   python -m pdf_parser_spark kg        --input docs.parquet --out triples/
   python -m pdf_parser_spark html-text --input docs.parquet --out text/
+  python -m pdf_parser_spark html-meta --input docs.parquet --out meta/
   python -m pdf_parser_spark curate    --input docs.parquet --outdir curated/
 
 Every command is a thin shell over the operators; `extract` is the
@@ -30,7 +31,7 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="pdf_parser_spark", description=__doc__)
     ap.add_argument("command", choices=[
         "extract", "toc", "chunk", "validate", "metrics", "report",
-        "toc-graph", "kg", "html-text", "curate",
+        "toc-graph", "kg", "html-text", "html-meta", "curate",
     ])
     ap.add_argument("--input")
     ap.add_argument("--toc")
@@ -117,6 +118,11 @@ def main(argv: list[str] | None = None) -> None:
 
         html_main_text(read_documents(spark, args.input)).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"command": "html-text", "rows": spark.read.parquet(args.out).count()}))
+    elif args.command == "html-meta":
+        from .operators.html_extract import html_metadata
+
+        html_metadata(read_documents(spark, args.input)).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"command": "html-meta", "rows": spark.read.parquet(args.out).count()}))
 
 
 if __name__ == "__main__":

@@ -32,3 +32,10 @@ def test_cli_toc_chunk_validate_report(spark, tmp_path, capsys):
 
     cli(["html-text", "--input", corpus, "--out", str(tmp_path / "t")])
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 20
+
+    cli(["html-meta", "--input", corpus, "--out", str(tmp_path / "m")])
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 20
+    meta = {r["url"]: r for r in spark.read.parquet(str(tmp_path / "m")).collect()}
+    # render_html titles pages with their url; the corpus's planted
+    # malformed docs may lose theirs, but the well-formed majority match
+    assert sum(m["title"] == u for u, m in meta.items()) >= 15
