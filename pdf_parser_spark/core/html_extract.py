@@ -161,6 +161,8 @@ METADATA_FIELDS = (
     "canonical",
     "og_title",
     "og_description",
+    "published_time",
+    "robots",
 )
 
 
@@ -197,6 +199,13 @@ class _MetadataParser(HTMLParser):
                 self.meta.setdefault("og_title", content)
             elif name == "og:description":
                 self.meta.setdefault("og_description", content)
+            elif name in ("article:published_time", "date"):
+                # either source fills the one field; first occurrence
+                # of either wins (article: meta usually precedes a
+                # legacy name="date" in real pages)
+                self.meta.setdefault("published_time", content)
+            elif name == "robots":
+                self.meta.setdefault("robots", content)
         elif tag == "link":
             if "canonical" in a.get("rel", "").lower().split() and a.get("href"):
                 self.meta.setdefault("canonical", a["href"].strip())

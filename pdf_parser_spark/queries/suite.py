@@ -3908,7 +3908,10 @@ SELECT CAST(doc_id AS VARCHAR) AS url,
        END AS description,
        'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS canonical,
        'Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
-       CAST(NULL AS VARCHAR) AS og_description
+       CAST(NULL AS VARCHAR) AS og_description,
+       '2024-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+           || 'T00:00:00Z' AS published_time,
+       CASE WHEN doc_id % 5 = 0 THEN 'noindex, nofollow' END AS robots
 FROM documents
 """
 
@@ -3916,8 +3919,9 @@ FROM documents
 @register("q93_html_metadata", _Q93_ORACLE)
 def q93(spark, sf):
     """Head-metadata harvest (operators/html_extract.html_metadata):
-    title, <html lang>, meta description, canonical link, og:* — the
-    crawl-pipeline side channel next to the main-text path. Spark
+    title, <html lang>, meta description, canonical link, og:*,
+    article:published_time, robots directives — the crawl-pipeline
+    side channel next to the main-text path. Spark
     side renders each document into the synthetic boilerplate HTML
     with metadata derived from its columns (description deliberately
     OMITTED for doc_id % 7 == 0 so the NULL/absent path is
@@ -3952,6 +3956,8 @@ def q93(spark, sf):
                     description=desc,
                     canonical=f"https://example.com/doc/{u}",
                     og_title=f"Doc {u}",
+                    published_time=f"2024-01-{int(u) % 27 + 1:02d}T00:00:00Z",
+                    robots="noindex, nofollow" if int(u) % 5 == 0 else None,
                 ).encode("utf-8")
             )
         return pd.Series(out)

@@ -224,6 +224,8 @@ def render_html(
     description: str | None = None,
     canonical: str | None = None,
     og_title: str | None = None,
+    published_time: str | None = None,
+    robots: str | None = None,
 ) -> str:
     """Wrap page text in boilerplate-laden markup.
 
@@ -247,6 +249,13 @@ def render_html(
         head_extra += f'<meta property="og:title" content="{_html.escape(og_title, quote=True)}">'
     if canonical is not None:
         head_extra += f'<link rel="canonical" href="{_html.escape(canonical, quote=True)}">'
+    if published_time is not None:
+        head_extra += (
+            '<meta property="article:published_time" '
+            f'content="{_html.escape(published_time, quote=True)}">'
+        )
+    if robots is not None:
+        head_extra += f'<meta name="robots" content="{_html.escape(robots, quote=True)}">'
     html_open = f'<html lang="{_html.escape(lang, quote=True)}">' if lang else "<html>"
     return (
         html_open + "<head><title>" + _html.escape(url) + "</title>" + head_extra +

@@ -190,6 +190,8 @@ def test_metadata_full_head_with_entities():
         '<meta property="og:title" content="OG A &amp; B">'
         '<meta property="og:description" content="og desc">'
         '<link rel="canonical" href="https://ex.com/a?x=1&amp;y=2">'
+        '<meta property="article:published_time" content="2024-02-01T09:30:00Z">'
+        '<meta name="robots" content="noindex">'
         "</head><body><p>hi</p></body></html>"
     )
     m = extract_metadata(html)
@@ -199,6 +201,22 @@ def test_metadata_full_head_with_entities():
     assert m["og_title"] == "OG A & B"
     assert m["og_description"] == "og desc"
     assert m["canonical"] == "https://ex.com/a?x=1&y=2"
+    assert m["published_time"] == "2024-02-01T09:30:00Z"
+    assert m["robots"] == "noindex"
+
+
+def test_metadata_published_time_sources():
+    from pdf_parser_spark.core.html_extract import extract_metadata
+
+    # legacy name="date" fills the field when article: meta is absent
+    m = extract_metadata('<head><meta name="date" content="2020-01-01"></head>')
+    assert m["published_time"] == "2020-01-01"
+    # first occurrence of EITHER source wins
+    m = extract_metadata(
+        '<head><meta property="article:published_time" content="A">'
+        '<meta name="date" content="B"></head>'
+    )
+    assert m["published_time"] == "A"
 
 
 def test_metadata_case_quoting_and_rel_list():
