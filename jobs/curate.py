@@ -128,6 +128,7 @@ def run(
     input_format: str = "parquet",
     transitive_near_dups: bool = False,
     history_dedup: bool = False,
+    drop_noindex: bool = False,
 ) -> dict:
     from pdf_parser_spark.fsutil import ensure_local_path
 
@@ -141,7 +142,7 @@ def run(
         return _run(
             input_path, outdir, spark, resume, near_dups,
             near_dup_threshold, quarantine, caches, snapshots, input_format,
-            transitive_near_dups, history_dedup,
+            transitive_near_dups, history_dedup, drop_noindex,
         )
     finally:
         for c in caches:
@@ -164,6 +165,7 @@ def _run(
     input_format: str = "parquet",
     transitive_near_dups: bool = False,
     history_dedup: bool = False,
+    drop_noindex: bool = False,
 ) -> dict:
     t0 = time.perf_counter()
     out = Path(outdir)
@@ -240,14 +242,23 @@ def _run(
     # once, and every later consumer (survivor build, quarantine side
     # table) reads the cache instead of re-running the Gopher/dup-line
     # scan over the input — the whole job makes ONE pass over raw docs
+    # robots opt-out rides the same single pass: a columnar regex
+    # column next to the Gopher flags, never a second scan. Disabled
+    # -> a literal false that codegen folds away everywhere below.
+    if drop_noindex:
+        docs = wf.robots_noindex_flag(docs)
+    rob = F.col("robots_noindex") if drop_noindex else F.lit(False)
     flagged = wf.line_dup_stats(wf.gopher_quality_flags(docs)).persist()
     caches.append(flagged)
-    quality_ok = F.col("gopher_keep") & (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
+    quality_ok = (
+        ~rob & F.col("gopher_keep") & (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
+    )
     funnel = flagged.agg(
         F.count("*").alias("n_new"),
-        F.sum(F.when(~F.col("gopher_keep"), 1).otherwise(0)).alias("drop_gopher"),
+        F.sum(F.when(rob, 1).otherwise(0)).alias("drop_robots"),
+        F.sum(F.when(~rob & ~F.col("gopher_keep"), 1).otherwise(0)).alias("drop_gopher"),
         F.sum(
-            F.when(F.col("gopher_keep") & (F.col("dup_line_frac") > MAX_DUP_LINE_FRAC), 1).otherwise(0)
+            F.when(~rob & F.col("gopher_keep") & (F.col("dup_line_frac") > MAX_DUP_LINE_FRAC), 1).otherwise(0)
         ).alias("drop_dup_lines"),
     ).first()
     t = _mark("quality_funnel", t)
@@ -366,7 +377,8 @@ def _run(
         # rows can be re-adjudicated without re-reading the corpus
         q_quality = flagged.where(~quality_ok).select(
             "url",
-            F.when(~F.col("gopher_keep"), F.lit("gopher"))
+            F.when(rob, F.lit("robots_noindex"))
+            .when(~F.col("gopher_keep"), F.lit("gopher"))
             .otherwise(F.lit("dup_lines"))
             .alias("reason"),
         )
@@ -430,11 +442,17 @@ def _run(
         t = _mark("fingerprint_store", t)
 
     n_new = funnel["n_new"] or 0
-    n_exact_dropped = (n_new - (funnel["drop_gopher"] or 0) - (funnel["drop_dup_lines"] or 0)) - n_after_exact
+    n_exact_dropped = (
+        n_new
+        - (funnel["drop_robots"] or 0)
+        - (funnel["drop_gopher"] or 0)
+        - (funnel["drop_dup_lines"] or 0)
+    ) - n_after_exact
     metrics = {
         "input_docs": n_input,
         "already_curated": already,
         "new_docs": n_new,
+        "dropped_robots_noindex": funnel["drop_robots"] or 0,
         "dropped_gopher": funnel["drop_gopher"] or 0,
         "dropped_dup_lines": funnel["drop_dup_lines"] or 0,
         "dropped_exact_dup": n_exact_dropped,
@@ -484,6 +502,13 @@ def main() -> None:
         "is ever re-read). Bootstraps/heals the store from the curated "
         "table automatically.",
     )
+    ap.add_argument(
+        "--drop-noindex",
+        action="store_true",
+        help="honor meta-robots noindex/none directives: flagged pages are "
+        "quarantined (reason robots_noindex) before the quality funnel, "
+        "via a columnar regex in the same single pass over raw docs",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
     spark = get_spark(app_name="curate", cpus=args.cpus)
@@ -500,6 +525,7 @@ def main() -> None:
                 input_format=args.input_format,
                 transitive_near_dups=args.transitive_near_dups,
                 history_dedup=args.history_dedup,
+                drop_noindex=args.drop_noindex,
             )
         )
     )

@@ -237,3 +237,31 @@ def canonicalize_url(url: Column) -> Column:
     rest = F.regexp_replace(u, r"^[a-zA-Z]+://[^/]*", "")
     u = F.when(scheme_host == "", u).otherwise(F.concat(scheme_host, rest))
     return F.regexp_replace(u, r"^([a-z]+://[^/?#]+)/$", "$1")
+
+
+# a robots meta tag asking not to index: name/content in either
+# attribute order, either quoting, directive list containing the
+# word noindex or the none shorthand (= noindex,nofollow)
+_ROBOTS_VAL = "(\"[^\"]*\\b(?:noindex|none)\\b[^\"]*\"|'[^']*\\b(?:noindex|none)\\b[^']*')"
+_ROBOTS_NAME = "(\"robots\"|'robots'|robots)"
+_ROBOTS_NOINDEX_RX = (
+    f"(?is)<meta\\b(?:[^>]*\\bname\\s*=\\s*{_ROBOTS_NAME}[^>]*\\bcontent\\s*=\\s*{_ROBOTS_VAL}"
+    f"|[^>]*\\bcontent\\s*=\\s*{_ROBOTS_VAL}[^>]*\\bname\\s*=\\s*{_ROBOTS_NAME})"
+)
+
+
+def robots_noindex_flag(
+    df: DataFrame, html_col: str = "html", out_col: str = "robots_noindex"
+) -> DataFrame:
+    """Flag pages whose meta robots directives ask not to index
+    (noindex, or the `none` shorthand) — the standard publisher
+    opt-out a crawl-curation funnel honors before any quality math.
+
+    Deliberately a COLUMNAR regex over the raw html bytes, not the
+    html_metadata parser pass: the gate runs on every ingested page,
+    so it must stay inside whole-stage codegen with zero Python cost;
+    the parser path (operators/html_extract.html_metadata) remains
+    the source of truth for the directive STRING when provenance is
+    needed. NULL/undecodable html → false (nothing to honor)."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    return df.withColumn(out_col, h.rlike(_ROBOTS_NOINDEX_RX))

@@ -3916,20 +3916,13 @@ FROM documents
 """
 
 
-@register("q93_html_metadata", _Q93_ORACLE)
-def q93(spark, sf):
-    """Head-metadata harvest (operators/html_extract.html_metadata):
-    title, <html lang>, meta description, canonical link, og:*,
-    article:published_time, robots directives — the crawl-pipeline
-    side channel next to the main-text path. Spark
-    side renders each document into the synthetic boilerplate HTML
-    with metadata derived from its columns (description deliberately
-    OMITTED for doc_id % 7 == 0 so the NULL/absent path is
-    driver-attested; og:description never set → all-NULL column); the
-    oracle replays every field in closed form, so a green row proves
-    tag/attr harvesting, first-occurrence semantics, entity handling
-    and absent-field NULLs through the real parser."""
-    from ..operators.html_extract import html_metadata
+def _docs_as_rendered_html_meta(spark, sf) -> DataFrame:
+    """documents → (url, html) rendered WITH head metadata derived
+    from the doc's columns: lang attr from `lang`, description
+    deliberately omitted for doc_id % 7 == 0, a deterministic
+    published_time, and a robots noindex directive planted on
+    doc_id % 5 == 0. Shared by q93 (parser harvest) and q94
+    (columnar opt-out gate)."""
     from ..plans.session import ship_package
 
     ship_package(spark)
@@ -3963,11 +3956,51 @@ def q93(spark, sf):
         return pd.Series(out)
 
     d = _t(spark, sf, "documents")
-    rendered = d.select(
+    return d.select(
         F.col("doc_id").cast("string").alias("url"),
         _render_meta(F.col("doc_id").cast("string"), "text", "lang").alias("html"),
     )
-    return html_metadata(rendered)
+
+
+@register("q93_html_metadata", _Q93_ORACLE)
+def q93(spark, sf):
+    """Head-metadata harvest (operators/html_extract.html_metadata):
+    title, <html lang>, meta description, canonical link, og:*,
+    article:published_time, robots directives — the crawl-pipeline
+    side channel next to the main-text path. Spark side renders each
+    document into the synthetic boilerplate HTML with metadata derived
+    from its columns (description deliberately OMITTED for
+    doc_id % 7 == 0 so the NULL/absent path is driver-attested;
+    og:description never set → all-NULL column); the oracle replays
+    every field in closed form, so a green row proves tag/attr
+    harvesting, first-occurrence semantics, entity handling and
+    absent-field NULLs through the real parser."""
+    from ..operators.html_extract import html_metadata
+
+    return html_metadata(_docs_as_rendered_html_meta(spark, sf))
+
+
+_Q94_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       doc_id % 5 = 0 AS robots_noindex
+FROM documents
+"""
+
+
+@register("q94_robots_noindex", _Q94_ORACLE)
+def q94(spark, sf):
+    """Publisher opt-out gate (webtext_filters.robots_noindex_flag,
+    the `jobs/curate.py --drop-noindex` stage): a COLUMNAR regex over
+    the raw html flags meta-robots noindex/none directives with zero
+    Python in the hot path. Runs over the same rendered corpus as q93
+    — every doc_id % 5 == 0 page carries the directive — so the gate
+    and the parser harvest are attested against the SAME planted
+    ground truth through two independent code paths."""
+    from ..operators.webtext_filters import robots_noindex_flag
+
+    return robots_noindex_flag(_docs_as_rendered_html_meta(spark, sf)).select(
+        "url", "robots_noindex"
+    )
 
 
 # =====================================================================

@@ -675,3 +675,54 @@ def test_curate_history_store_bootstrap_and_heal(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_curate_drop_noindex_quarantines_optouts(spark, tmp_path):
+    """--drop-noindex honors meta-robots opt-outs inside the single
+    raw-docs pass: flagged pages are quarantined with their own
+    reason, the funnel accounting stays complete and disjoint, and
+    the default (off) leaves the numbers untouched."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate import run as run_curate
+
+    corpus = str(tmp_path / "ndocs.parquet")
+    docs = synthetic_documents(spark, 24, seed=42)
+    # plant the directive into every 4th doc's html (position in the
+    # byte stream is irrelevant to the columnar gate)
+    planted = docs.withColumn(
+        "html",
+        F.when(
+            F.crc32("url") % 4 == 0,
+            F.concat(
+                F.lit(b'<meta content="noindex" name="robots">'), F.col("html")
+            ),
+        ).otherwise(F.col("html")),
+    )
+    planted.write.mode("overwrite").parquet(corpus)
+    n_planted = planted.where(F.crc32("url") % 4 == 0).count()
+    assert n_planted > 0
+
+    out = str(tmp_path / "nout")
+    r = run_curate(corpus, out, spark=spark, resume=False, drop_noindex=True)
+    assert r["dropped_robots_noindex"] == n_planted
+    assert (
+        r["dropped_robots_noindex"]
+        + r["dropped_gopher"]
+        + r["dropped_dup_lines"]
+        + r["dropped_exact_dup"]
+        + r["dropped_near_dup"]
+        + r["newly_curated"]
+    ) == r["new_docs"] == 24
+    q = spark.read.parquet(f"{out}/quarantine")
+    assert q.where(F.col("reason") == "robots_noindex").count() == n_planted
+    curated = spark.read.parquet(f"{out}/curated")
+    assert curated.join(
+        q.where(F.col("reason") == "robots_noindex"), "url", "left_semi"
+    ).count() == 0
+
+    # default path ignores the directive entirely
+    out2 = str(tmp_path / "nout_off")
+    r2 = run_curate(corpus, out2, spark=spark, resume=False)
+    assert r2["dropped_robots_noindex"] == 0
+    assert r2["newly_curated"] >= r["newly_curated"]

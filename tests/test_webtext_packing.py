@@ -416,3 +416,27 @@ def test_c4_line_clean_rewrite_and_page_flag(spark):
     assert not out[3]["c4_page_keep"]  # lorem ipsum
     assert not out[4]["c4_page_keep"]  # curly brace
     assert out[5]["c4_page_keep"] and out[5]["text_clean"] == " ".join([good] * 5)
+
+
+def test_robots_noindex_flag_cases(spark):
+    """Columnar meta-robots gate: attribute order, quoting style and
+    case all match; the `none` shorthand counts as noindex; nofollow
+    alone, non-robots metas, word-prefix lookalikes and NULL html do
+    not."""
+    from pdf_parser_spark.operators.webtext_filters import robots_noindex_flag
+
+    rows = [
+        ("a", b'<meta name="robots" content="noindex, nofollow">', True),
+        ("b", b"<META CONTENT='nofollow,NOINDEX' NAME=ROBOTS>", True),
+        ("c", b'<meta name="robots" content="nofollow">', False),
+        ("d", b'<meta name="robots" content="none">', True),
+        ("e", b'<meta name="description" content="noindex is a word">', False),
+        ("f", None, False),
+        ("g", b'<meta name="robots" content="nonenclature">', False),
+        ("h", b"<body>plain page</body>", False),
+    ]
+    df = spark.createDataFrame(
+        [(u, h) for u, h, _ in rows], "url string, html binary"
+    )
+    got = {r["url"]: r["robots_noindex"] for r in robots_noindex_flag(df).collect()}
+    assert got == {u: want for u, _, want in rows}
