@@ -213,3 +213,28 @@ def boilerplate_stats(blocks: DataFrame) -> DataFrame:
             "content_share", F.round(F.col("content_blocks") / F.col("blocks"), 4)
         )
     )
+
+
+# anchor href value: quoted either way or bare-unquoted
+_HREF_RX = "(?i)<a\\b[^>]*\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
+
+
+def html_outlinks(docs: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
+    """documents → (url, link_no, href): every anchor's raw href in
+    document order — the crawl-graph side channel (frontier seeding,
+    host-graph features, link-spam signals). Hrefs are reported as
+    written (attribute text, quotes stripped, no resolution against
+    the base url), so the output is a pure function of the bytes.
+
+    Columnar end to end: one regexp_extract_all + a quote-trim
+    transform + posexplode, all whole-stage codegen — rows out ∝
+    anchors, the html column never reaches Python. NULL html → zero
+    rows for that url."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    hrefs = F.transform(
+        F.regexp_extract_all(h, F.lit(_HREF_RX), F.lit(1)),
+        lambda x: F.regexp_replace(x, "^[\"']|[\"']$", ""),
+    )
+    return docs.select(
+        F.col(url_col).alias("url"), F.posexplode(hrefs).alias("link_no", "href")
+    )

@@ -62,6 +62,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_Q95_ORACLE = """
+SELECT CAST(d.doc_id AS VARCHAR) AS url, ln.link_no, ln.href
+FROM documents d, (VALUES (0, '/l0'), (1, '/l1'), (2, '/l2'), (3, '/l3'), (4, '/l4'), (5, '/l5'), (6, '/l6'), (7, '/l7'), (8, '/l8'), (9, '/l9'), (10, '/l10'), (11, '/l11'), (12, '/ad'), (13, '/tos'), (14, '/priv')) ln(link_no, href)
+"""
+
+
+@register("q95_html_outlinks", _Q95_ORACLE)
+def q95(spark, sf):
+    """Outlink harvest (html_extract.html_outlinks): every anchor href
+    in document order — the crawl-graph side channel (frontier
+    seeding, host-graph features). Columnar regexp_extract_all +
+    posexplode, html never reaches Python. The renderer's boilerplate
+    carries exactly 15 anchors per page (nav /l0../l11, aside /ad,
+    footer /tos, /priv) and the page bodies are escaped text, so the
+    oracle is a closed-form cross join — a green row proves both the
+    href grammar (quoting/case) and the document-order numbering."""
+    from ..operators.html_extract import html_outlinks
+
+    return html_outlinks(_docs_as_rendered_html(spark, sf))
+
+
 # =====================================================================
 # Relational core (joins/aggs/windows — SURVEY §2.6-2.8 analogues)
 # =====================================================================

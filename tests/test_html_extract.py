@@ -306,3 +306,20 @@ def test_html_metadata_operator(spark):
     assert out["a"]["description"] == "da" and out["a"]["canonical"] is None
     assert out["b"]["canonical"] == "https://ex.com/b" and out["b"]["lang"] is None
     assert all(out["c"][f] is None for f in out["c"] if f != "url")
+
+
+def test_html_outlinks_grammar_and_order(spark):
+    from pdf_parser_spark.operators.html_extract import html_outlinks
+
+    rows = [
+        (
+            "a",
+            b'<a href="/x">1</a><A HREF=\'/y\'>2</A>'
+            b"<a class=z href=/bare>3</a><a>no href</a>",
+        ),
+        ("b", None),
+        ("c", b"<p>no anchors</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted((r.url, r.link_no, r.href) for r in html_outlinks(df).collect())
+    assert got == [("a", 0, "/x"), ("a", 1, "/y"), ("a", 2, "/bare")]
