@@ -24,6 +24,8 @@ Spark operator (operators/html_extract.py) and in unit tests.
 
 from __future__ import annotations
 
+import codecs
+import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
@@ -143,8 +145,7 @@ def segment_blocks(html: str | bytes | None) -> list[Block]:
     """Parse HTML into scored blocks; tolerant of truncated markup."""
     if html is None:
         return []
-    if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+    html = decode_html(html)
     parser = _BlockParser()
     try:
         parser.feed(html)
@@ -152,6 +153,52 @@ def segment_blocks(html: str | bytes | None) -> list[Block]:
     except Exception:
         pass  # keep whatever blocks were segmented before the error
     return [b for b in parser.state.blocks if b.n_chars > 0]
+
+
+# <meta charset=utf-8> and the legacy
+# <meta http-equiv=Content-Type content="text/html; charset=...">
+# both reduce to a charset= token inside a meta tag
+_CHARSET_RX = re.compile(rb"(?is)<meta[^>]*charset\s*=\s*[\"']?\s*([a-z0-9_\-:.]+)")
+
+
+def sniff_charset(head: bytes) -> str | None:
+    """Declared encoding of an HTML byte stream, or None: BOM first
+    (the authoritative signal), then a meta charset token in the
+    given prefix (the WHATWG prescan, simplified). Only names the
+    codec registry accepts are returned."""
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
+        return "utf-16"  # BOM-aware: picks the right endianness itself
+    m = _CHARSET_RX.search(head)
+    if m:
+        name = m.group(1).decode("ascii", errors="replace")
+        try:
+            codecs.lookup(name)
+        except LookupError:
+            return None
+        return name
+    return None
+
+
+def decode_html(html: str | bytes | None) -> str:
+    """bytes → str honoring the page's own declared charset (BOM or
+    meta prescan over the first 2 KiB), falling back to lenient
+    UTF-8. A wrong declaration degrades to replacement chars, never
+    an exception — crawl bytes must not kill a task. str passes
+    through; None → ''."""
+    if html is None:
+        return ""
+    if isinstance(html, str):
+        return html
+    b = bytes(html)
+    enc = sniff_charset(b[:2048])
+    if enc:
+        try:
+            return b.decode(enc, errors="replace")
+        except Exception:
+            pass
+    return b.decode("utf-8", errors="replace")
 
 
 METADATA_FIELDS = (
@@ -230,8 +277,7 @@ def extract_metadata(html: str | bytes | None) -> dict[str, str | None]:
     out: dict[str, str | None] = {k: None for k in METADATA_FIELDS}
     if html is None:
         return out
-    if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+    html = decode_html(html)
     parser = _MetadataParser()
     try:
         parser.feed(html)

@@ -263,7 +263,10 @@ def test_metadata_truncated_and_hostile_bytes():
     # meta without content / link without href are ignored, not crashes
     m = extract_metadata('<meta name="description"><link rel="canonical" href="">')
     assert m["description"] is None and m["canonical"] is None
-    assert isinstance(extract_metadata(b"\xff\xfe<title>x</title>")["title"], str)
+    # a UTF-16 BOM on non-UTF-16 bytes decodes to garbage (as it
+    # should — the BOM is authoritative) but never raises
+    m = extract_metadata(b"\xff\xfe<title>x</title>")
+    assert set(m) and all(v is None or isinstance(v, str) for v in m.values())
 
 
 def test_metadata_render_roundtrip_and_default_unchanged():
@@ -323,3 +326,41 @@ def test_html_outlinks_grammar_and_order(spark):
     df = spark.createDataFrame(rows, "url string, html binary")
     got = sorted((r.url, r.link_no, r.href) for r in html_outlinks(df).collect())
     assert got == [("a", 0, "/x"), ("a", 1, "/y"), ("a", 2, "/bare")]
+
+
+def test_decode_html_honors_declared_charset():
+    from pdf_parser_spark.core.html_extract import (
+        decode_html,
+        extract_metadata,
+        extract_main_text,
+        sniff_charset,
+    )
+
+    # latin-1 page declaring itself — é decodes correctly, not as U+FFFD
+    latin = (
+        '<html><head><meta charset="iso-8859-1"><title>café</title></head>'
+        "<body><p>café au lait</p></body></html>"
+    ).encode("iso-8859-1")
+    assert sniff_charset(latin) == "iso-8859-1"
+    assert extract_metadata(latin)["title"] == "café"
+    assert "café au lait" in extract_main_text(latin)
+
+    # legacy http-equiv form, windows-1251 cyrillic
+    cyr = (
+        '<head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=windows-1251"></head><body><p>привет</p></body>'
+    ).encode("windows-1251")
+    assert "привет" in extract_main_text(cyr)
+
+    # BOMs beat (absent) declarations; utf-8 BOM is stripped
+    u16 = "<title>wide</title>".encode("utf-16")  # emits a BOM
+    assert extract_metadata(u16)["title"] == "wide"
+    u8 = b"\xef\xbb\xbf<p>x</p>"
+    assert extract_main_text(u8) == "x"
+
+    # bogus declaration falls back to lenient utf-8, never raises
+    bogus = b'<meta charset="no-such-enc"><p>ok</p>'
+    assert sniff_charset(bogus) is None
+    assert extract_main_text(bogus) == "ok"
+    # undeclared non-utf8 degrades to replacement chars, still no raise
+    assert isinstance(decode_html("é".encode("latin-1")), str)
