@@ -364,3 +364,120 @@ def test_decode_html_honors_declared_charset():
     assert extract_main_text(bogus) == "ok"
     # undeclared non-utf8 degrades to replacement chars, still no raise
     assert isinstance(decode_html("é".encode("latin-1")), str)
+
+
+def test_fuzz_columnar_robots_grammar_matches_parser():
+    """Differential fuzz: the curate gate's regex (webtext_filters.
+    _ROBOTS_NOINDEX_RX, a Spark/Java pattern that also compiles under
+    Python re) must agree with the DOM parser's harvested robots
+    field across generated meta-tag spellings — attribute order,
+    quoting style, casing, directive lists and decoy tags. Divergence
+    means the funnel drops (or keeps) pages the metadata table
+    contradicts."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_parser_spark.core.html_extract import extract_metadata
+    from pdf_parser_spark.operators.webtext_filters import _ROBOTS_NOINDEX_RX
+
+    rx = re.compile(_ROBOTS_NOINDEX_RX)
+
+    directive = st.sampled_from(
+        ["noindex", "nofollow", "none", "index", "noarchive", "nosnippet"]
+    )
+    directives = st.lists(directive, min_size=1, max_size=3)
+    quote = st.sampled_from(['"', "'"])
+    case = st.sampled_from([str.lower, str.upper])
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        ds=directives,
+        q=quote,
+        content_first=st.booleans(),
+        fn=case,
+        pad=st.sampled_from(["", " ", "  "]),
+    )
+    def run(ds, q, content_first, fn, pad):
+        content = ", ".join(ds)
+        name_attr = fn(f"name={pad}{q}robots{q}")
+        content_attr = fn(f"content={pad}{q}{content}{q}")
+        attrs = (
+            f"{content_attr} {name_attr}" if content_first else f"{name_attr} {content_attr}"
+        )
+        html = f"<html><head><meta {attrs}><title>t</title></head></html>"
+        want = any(d in ("noindex", "none") for d in ds)
+        # parser ground truth: the robots STRING it harvests implies
+        # the same keep/drop decision (case-insensitive word match)
+        harvested = extract_metadata(html)["robots"] or ""
+        parser_says = bool(
+            re.search(r"(?i)\b(noindex|none)\b", harvested)
+        )
+        assert parser_says == want
+        assert bool(rx.search(html)) == want, html
+
+    run()
+
+
+def test_fuzz_columnar_href_grammar_matches_parser():
+    """Differential fuzz for the outlink regex: across quoting styles,
+    casing, attribute order and decoy attributes, the columnar grammar
+    extracts exactly the hrefs the HTML parser sees (entity-free,
+    url-safe alphabet — the operator contract is RAW attribute text)."""
+    import re
+    from html.parser import HTMLParser
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_parser_spark.operators.html_extract import _HREF_RX
+
+    rx = re.compile(_HREF_RX)
+
+    href_val = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789/._-?=#:%", min_size=1, max_size=24
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        hrefs=st.lists(href_val, max_size=4),
+        q=st.sampled_from(['"', "'", ""]),
+        fn=st.sampled_from([str.lower, str.upper]),
+        decoy_first=st.booleans(),
+    )
+    def run(hrefs, q, fn, decoy_first):
+        from hypothesis import assume
+
+        # HTML5 forbids '=' inside UNQUOTED attribute values (the
+        # construct is ambiguous and real parsers disagree on it)
+        assume(q != "" or all("=" not in h for h in hrefs))
+        parts = []
+        for h in hrefs:
+            # case transform applies to markup names only — attribute
+            # VALUES are case-significant and must round-trip raw
+            attr = f"{fn('href')}={q}{h}{q}"
+            decoy = f"{fn('class')}=\"x\""
+            attrs = f"{decoy} {attr}" if decoy_first else f"{attr} {decoy}"
+            parts.append(f"<{fn('a')} {attrs}>t</{fn('a')}>")
+        parts.append("<a>bare anchor</a><p>filler</p>")
+        html = "".join(parts)
+
+        got = [m.group(1).strip("\"'") for m in rx.finditer(html)]
+
+        class _A(HTMLParser):
+            out: list = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "a":
+                    for k, v in attrs:
+                        if k == "href" and v is not None:
+                            self.out.append(v)
+                            break
+
+        p = _A()
+        p.out = []
+        p.feed(html)
+        assert got == p.out == hrefs
+
+    run()
