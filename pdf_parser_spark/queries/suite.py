@@ -4039,15 +4039,15 @@ def q94(spark, sf):
 # row across r1-r4.
 #
 # Round 5: the 33 legs whose last driver row is r3 (q01-q13, q22-q24,
-# q26, q28-q31, q36-q44, q50-q51, q53) go first, then the six round-5
+# q26, q28-q31, q36-q44, q50-q51, q53) go first, then the NINE round-5
 # additions (q87 table-centroid SemDeDup, q88 legacy coercion,
-# q89/q90/q91 HTML DOM extraction, q92 DSIR importance — never
-# checked), then 11 repeats from the r4-green set biased toward the
-# code this round touched (semantic-dedup/IVF family, the near-dup
-# ladder) and the graft tier's hardest legs. The 39 that fall out
-# keep their r4 rows on record and remain covered by the local
-# type-strict gate (tests/test_entry_oracle.py runs ALL entries) and
-# by bench.py.
+# q89/q90/q91 HTML DOM extraction, q92 DSIR importance, q93 metadata
+# harvest, q94 robots gate, q95 outlinks — never checked), then 8
+# repeats from the r4-green set biased toward the code this round
+# touched (semantic-dedup/IVF family, the near-dup ladder) and the
+# graft tier's hardest legs. The 42 that fall out keep their r4 rows
+# on record and remain covered by the local type-strict gate
+# (tests/test_entry_oracle.py runs ALL entries) and by bench.py.
 _DRIVER_WINDOW: list[str] = [
     # stale-first: last driver row was round 3 (33)
     "q01_pricing_summary",
@@ -4083,24 +4083,26 @@ _DRIVER_WINDOW: list[str] = [
     "q50_content_line_filter",
     "q51_title_override",
     "q53_export_table_counts",
-    # round-5 additions, never driver-checked (6)
+    # round-5 additions, never driver-checked (9)
     "q87_semantic_dedup_table",
     "q88_legacy_chunk_coercion",
     "q89_html_main_extract",
     "q90_html_content_spans",
     "q91_boilerplate_stats",
     "q92_dsir_importance",
-    # repeats from the r4-green set (11): the semantic-dedup/IVF
-    # family this round's centroid work touched, the near-dup ladder,
-    # and the stateful/extraction legs with the most regression risk
+    "q93_html_metadata",
+    "q94_robots_noindex",
+    "q95_html_outlinks",
+    # repeats from the r4-green set (8): the semantic-dedup/IVF
+    # family this round's centroid work touched, the near-dup ladder
+    # heads, and the stateful/extraction legs with the most
+    # regression risk (the dropped q46/q47/q71 portable twins are
+    # unchanged since r2 and stay covered by the local gate)
     "q86_semantic_dedup",
     "q66_ivf_probe_topk",
     "q32_embedding_near_dups",
     "q45_minhash_portable",
-    "q46_ann_topk_portable",
-    "q47_simhash_portable",
     "q48_winnowed_fingerprints",
-    "q71_winnowed_capped",
     "q76_duplicate_clusters",
     "q73_decontaminate",
     "q55_greedy_fuzzy_validate",
