@@ -285,3 +285,74 @@ def dsir_weights(
         score.alias("dsir_q"),
         F.col("_is_target").alias("is_target"),
     )
+
+
+def host_of(url: Column) -> Column:
+    """Registered host of a url, lowercased ('' when no scheme://host
+    prefix — e.g. bare keys — so capping degrades to one global
+    group instead of dropping rows)."""
+    return F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)", 1)
+    )
+
+
+def top_n_per_key(df: DataFrame, key_col: str, n: int, order_cols: list) -> DataFrame:
+    """Exact top-n rows per key without the single-window skew trap.
+
+    `Window.partitionBy(key)` puts a whole key in ONE task — a
+    mega-host with 10^8 pages is a straggler (AQE splits skewed
+    joins, not windows). Two-stage partial top-n instead:
+
+      stage 1: rank within (input-partition, key) and keep n — group
+               size is bounded by the PARTITION, never by the key;
+      stage 2: rank the <= n x P survivors per key globally — group
+               size is bounded by n x partitions-touching-the-key.
+
+    Exact for any input partitioning: a key's global top-n rows are
+    each in some partition's top-n (anything that beats them there
+    beats them globally), so stage 1 never prunes a final survivor.
+    `order_cols` must be a deterministic total order (break ties!)
+    or row_number ranks arbitrarily within ties."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("_tnk_pid", key_col).orderBy(*order_cols)
+    pruned = (
+        df.withColumn("_tnk_pid", F.spark_partition_id())
+        .withColumn("_tnk_rn", F.row_number().over(w1))
+        .where(F.col("_tnk_rn") <= n)
+        .drop("_tnk_pid", "_tnk_rn")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        pruned.withColumn("_tnk_rn", F.row_number().over(w2))
+        .where(F.col("_tnk_rn") <= n)
+        .drop("_tnk_rn")
+    )
+
+
+def host_cap(
+    df: DataFrame,
+    max_per_host: int,
+    url_col: str = "url",
+    portable: bool = False,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most `max_per_host` documents per host — the host-spam
+    guard (mirror farms, forum archives and SEO spam put millions of
+    near-worthless pages on one domain; C4/RefinedWeb-style corpora
+    cap them). Survivors are the max_per_host smallest
+    (hash(url), url) per host: a deterministic pseudo-random sample —
+    re-runs pick the same set, and no content- or crawl-order bias
+    leaks into what survives. xxhash64 in production; portable=True
+    uses the md5-derived hash a SQL oracle replays (q96). Built on
+    top_n_per_key, so mega-hosts never serialize into one task."""
+    ordered = df.withColumn("_hc_host", host_of(F.col(url_col))).withColumn(
+        "_hc_ord",
+        portable_hash64(F.col(url_col), seed)
+        if portable
+        else F.xxhash64(F.col(url_col), F.lit(seed)),
+    )
+    capped = top_n_per_key(
+        ordered, "_hc_host", max_per_host, [F.col("_hc_ord"), F.col(url_col)]
+    )
+    return capped.drop("_hc_host", "_hc_ord")

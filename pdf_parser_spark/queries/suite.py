@@ -83,6 +83,52 @@ def q95(spark, sf):
     return html_outlinks(_docs_as_rendered_html(spark, sf))
 
 
+_Q96_ORACLE = r"""
+WITH d AS (
+  SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), r AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)', 1)) AS host,
+         CAST(('0x' || substr(md5(url || '#0'), 1, 15)) AS BIGINT) AS h
+  FROM d
+)
+SELECT url, host
+FROM (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY h, url) AS rn
+  FROM r
+)
+WHERE rn <= 20
+"""
+
+
+@register("q96_host_cap", _Q96_ORACLE)
+def q96(spark, sf):
+    """Per-host document cap (mixing.host_cap over top_n_per_key):
+    keep the 20 smallest (portable_hash(url), url) per host — the
+    host-spam guard, implemented as the EXACT two-stage partial
+    top-n so a mega-host never serializes into one window task
+    (docs/PLANS.md). Spark derives 7-host urls from doc_id; the
+    oracle replays the survivor set with a single SQL window — a
+    green row proves the two-stage plan is value-identical to the
+    naive global window it replaces."""
+    from ..operators import mixing as mx
+
+    d = _t(spark, sf, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    capped = mx.host_cap(urls, 20, portable=True)
+    return capped.select("url", mx.host_of(F.col("url")).alias("host"))
+
+
 # =====================================================================
 # Relational core (joins/aggs/windows — SURVEY §2.6-2.8 analogues)
 # =====================================================================
@@ -4042,8 +4088,8 @@ def q94(spark, sf):
 # q26, q28-q31, q36-q44, q50-q51, q53) go first, then the NINE round-5
 # additions (q87 table-centroid SemDeDup, q88 legacy coercion,
 # q89/q90/q91 HTML DOM extraction, q92 DSIR importance, q93 metadata
-# harvest, q94 robots gate, q95 outlinks — never checked), then 8
-# repeats from the r4-green set biased toward the code this round
+# harvest, q94 robots gate, q95 outlinks, q96 host cap — never
+# checked), then 7 repeats from the r4-green set biased toward the code this round
 # touched (semantic-dedup/IVF family, the near-dup ladder) and the
 # graft tier's hardest legs. The 42 that fall out keep their r4 rows
 # on record and remain covered by the local type-strict gate
@@ -4083,7 +4129,7 @@ _DRIVER_WINDOW: list[str] = [
     "q50_content_line_filter",
     "q51_title_override",
     "q53_export_table_counts",
-    # round-5 additions, never driver-checked (9)
+    # round-5 additions, never driver-checked (10)
     "q87_semantic_dedup_table",
     "q88_legacy_chunk_coercion",
     "q89_html_main_extract",
@@ -4093,16 +4139,16 @@ _DRIVER_WINDOW: list[str] = [
     "q93_html_metadata",
     "q94_robots_noindex",
     "q95_html_outlinks",
-    # repeats from the r4-green set (8): the semantic-dedup/IVF
+    "q96_host_cap",
+    # repeats from the r4-green set (7): the semantic-dedup/IVF
     # family this round's centroid work touched, the near-dup ladder
     # heads, and the stateful/extraction legs with the most
-    # regression risk (the dropped q46/q47/q71 portable twins are
+    # regression risk (the dropped q46/q47/q48/q71 portable legs are
     # unchanged since r2 and stay covered by the local gate)
     "q86_semantic_dedup",
     "q66_ivf_probe_topk",
     "q32_embedding_near_dups",
     "q45_minhash_portable",
-    "q48_winnowed_fingerprints",
     "q76_duplicate_clusters",
     "q73_decontaminate",
     "q55_greedy_fuzzy_validate",

@@ -155,3 +155,63 @@ def test_dsir_weights_table_path_matches_inline(spark):
     a = {r["doc_id"]: (r["n_grams"], r["dsir_q"]) for r in inline.collect()}
     b = {r["doc_id"]: (r["n_grams"], r["dsir_q"]) for r in tabled.collect()}
     assert a == b
+
+
+def test_top_n_per_key_equals_single_window_any_partitioning(spark):
+    """Two-stage partial top-n == the naive single global window, for
+    every input partitioning (1, 7, 32 partitions), on a skewed key
+    distribution with a deterministic total order."""
+    from pyspark.sql import Window, functions as F
+
+    from pdf_parser_spark.operators.mixing import top_n_per_key
+
+    rows = [(f"k{(i * i) % 3}", f"u{i:04d}") for i in range(500)]  # skewed keys
+    base = spark.createDataFrame(rows, "k string, u string").withColumn(
+        "o", F.xxhash64("u")
+    )
+    w = Window.partitionBy("k").orderBy(F.col("o"), F.col("u"))
+    want = sorted(
+        (r.k, r.u)
+        for r in base.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 25")
+        .collect()
+    )
+    for parts in (1, 7, 32):
+        got = sorted(
+            (r.k, r.u)
+            for r in top_n_per_key(
+                base.repartition(parts), "k", 25, [F.col("o"), F.col("u")]
+            ).collect()
+        )
+        assert got == want, parts
+    # squares mod 3 hit only {0, 1}: two (skewed) keys, 25 kept each
+    assert len(want) == 50
+
+
+def test_host_cap_deterministic_and_per_host(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.mixing import host_cap, host_of
+
+    df = spark.range(300).select(
+        F.concat(
+            F.lit("https://Host"),
+            (F.col("id") % 4).cast("string"),
+            F.lit(".Example/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.col("id").alias("payload"),
+    )
+    capped = host_cap(df, 30)
+    per_host = (
+        capped.groupBy(host_of(F.col("url")).alias("h")).count().collect()
+    )
+    assert {r["h"] for r in per_host} == {f"host{i}.example" for i in range(4)}
+    assert all(r["count"] == 30 for r in per_host)
+    # schema passthrough and determinism across re-runs
+    assert set(capped.columns) == {"url", "payload"}
+    again = sorted(r.url for r in host_cap(df.repartition(13), 30).collect())
+    assert again == sorted(r.url for r in capped.collect())
+    # schemeless keys degrade to one global group, nothing dropped below cap
+    bare = spark.createDataFrame([(f"{i}",) for i in range(10)], "url string")
+    assert host_cap(bare, 50).count() == 10
