@@ -117,3 +117,38 @@ def hashed_linear_score(
         .withColumn(f"{out_col}_keep", F.col(out_col) > F.lit(threshold))
         .drop("__hls_w", "__hls_v")
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "compression_ratio"
+) -> DataFrame:
+    """zlib-compressed bytes / raw utf-8 bytes per document — the
+    classic redundancy signal (Gopher-family pipelines and the
+    RedPajama-v2 quality signals both carry it): machine-generated
+    or template-spam text compresses far below natural prose, and
+    random/binary gibberish sits near (or above) 1.0. Keep-band
+    thresholds are corpus-tuned by the caller; this just computes the
+    signal.
+
+    Arrow-batched pandas UDF — zlib runs at C speed and the ratio is
+    a per-row scalar, so the pass is scan-shaped with zero shuffles.
+    Level pinned for determinism within a zlib build; no SQL oracle
+    exists for zlib output, so attestation is pytest-only (band
+    assertions on constructed corpora), like the multimodal tier.
+    NULL/empty text → NULL."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _ratio(s):
+        import zlib
+
+        out = []
+        for t in s:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, 6)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

@@ -440,3 +440,25 @@ def test_robots_noindex_flag_cases(spark):
     )
     got = {r["url"]: r["robots_noindex"] for r in robots_noindex_flag(df).collect()}
     assert got == {u: want for u, _, want in rows}
+
+
+def test_compression_ratio_bands(spark):
+    """Redundancy signal sanity: template spam compresses far below
+    prose, prose below high-entropy noise; NULL/empty text is NULL;
+    the ratio is deterministic across runs."""
+    import random
+
+    from pdf_parser_spark.operators.text_analysis import compression_ratio
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randrange(0x21, 0x2FA0)) for _ in range(4000))
+    vocab = [f"word{i}" for i in range(300)] + ["the", "a", "of", "and", "to"]
+    prose = " ".join(rng.choice(vocab) for _ in range(700))
+    spam = "buy cheap deals now! " * 200
+    rows = [("spam", spam), ("prose", prose), ("noise", noise), ("empty", ""), ("null", None)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r.url: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert got["empty"] is None and got["null"] is None
+    assert got["spam"] < 0.1 < got["prose"] < got["noise"]
+    again = {r.url: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert again == got
