@@ -506,6 +506,37 @@ def main() -> None:
 
     leg("webtext_chain", webtext)
 
+    # --- per-host cap (exact two-stage top-n over the skew fixture) --
+    def host_cap_leg():
+        """The corpus's duplicate-host urls are host_cap's designed
+        fixture: cap at 100 docs/host with the two-stage partial
+        top-n and assert the invariants a window regression would
+        break — no host above the cap, under-cap hosts untouched."""
+        from pdf_parser_spark.operators import mixing as mx
+
+        capped = mx.host_cap(docs, 100).cache()
+        n = capped.count()
+        per = (
+            capped.groupBy(mx.host_of(F.col("url")).alias("h"))
+            .count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.count("*").alias("hosts"),
+            )
+            .first()
+        )
+        orig_hosts = docs.select(mx.host_of(F.col("url")).alias("h")).distinct().count()
+        extra = results["legs"].setdefault("host_cap", {})
+        extra.update(
+            {"hosts": per["hosts"], "max_per_host": per["mx"], "orig_hosts": orig_hosts}
+        )
+        assert per["mx"] <= 100, f"cap violated: {per['mx']}"
+        assert per["hosts"] == orig_hosts, "capping dropped a whole host"
+        capped.unpersist()
+        return n
+
+    leg("host_cap", host_cap_leg)
+
     # --- corpus-level hygiene (r4: cross-document state) -------------
     from pdf_parser_spark.operators import corpus_dedup as cd
     from pdf_parser_spark.operators import mixing as mx
