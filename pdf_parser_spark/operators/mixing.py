@@ -297,20 +297,27 @@ def host_of(url: Column) -> Column:
 
 
 def top_n_per_key(df: DataFrame, key_col: str, n: int, order_cols: list) -> DataFrame:
-    """Exact top-n rows per key without the single-window skew trap.
+    """Exact top-n rows per key as an EXPLICIT two-stage construction.
 
-    `Window.partitionBy(key)` puts a whole key in ONE task — a
-    mega-host with 10^8 pages is a straggler (AQE splits skewed
-    joins, not windows). Two-stage partial top-n instead:
+    On Spark >= 3.5 you rarely need this: a plain
+    `row_number().over(Window.partitionBy(key).orderBy(...)) <= n`
+    filter compiles to Partial/Final WindowGroupLimit — Catalyst's
+    own two-phase top-n, which keeps n per key per input partition
+    BEFORE the exchange, so a mega-key's post-shuffle group is
+    bounded at n x P rows (host_cap below uses that form, and
+    test_plans locks the Partial node in). This manual form exists
+    for shapes the pushdown cannot see — the rank filter separated
+    from its window by other operators, rank expressions beyond
+    row_number/rank/dense_rank, or engines without the rule:
 
       stage 1: rank within (input-partition, key) and keep n — group
                size is bounded by the PARTITION, never by the key;
-      stage 2: rank the <= n x P survivors per key globally — group
-               size is bounded by n x partitions-touching-the-key.
+      stage 2: rank the <= n x P survivors per key globally.
 
     Exact for any input partitioning: a key's global top-n rows are
     each in some partition's top-n (anything that beats them there
-    beats them globally), so stage 1 never prunes a final survivor.
+    beats them globally), so stage 1 never prunes a final survivor
+    (test_mixing proves value-identity across layouts).
     `order_cols` must be a deterministic total order (break ties!)
     or row_number ranks arbitrarily within ties."""
     from pyspark.sql import Window
@@ -344,15 +351,26 @@ def host_cap(
     (hash(url), url) per host: a deterministic pseudo-random sample —
     re-runs pick the same set, and no content- or crawl-order bias
     leaks into what survives. xxhash64 in production; portable=True
-    uses the md5-derived hash a SQL oracle replays (q96). Built on
-    top_n_per_key, so mega-hosts never serialize into one task."""
+    uses the md5-derived hash a SQL oracle replays (q96).
+
+    Plan shape: the rank filter sits directly on its window, so
+    Catalyst compiles it to Partial/Final WindowGroupLimit — the
+    partial limit keeps max_per_host rows per host per input
+    partition BEFORE the exchange, bounding a mega-host's one-task
+    group at n x P rows instead of its full page count
+    (test_plans.test_host_cap_window_group_limit locks the Partial
+    node in; top_n_per_key above is the explicit fallback form)."""
+    from pyspark.sql import Window
+
     ordered = df.withColumn("_hc_host", host_of(F.col(url_col))).withColumn(
         "_hc_ord",
         portable_hash64(F.col(url_col), seed)
         if portable
         else F.xxhash64(F.col(url_col), F.lit(seed)),
     )
-    capped = top_n_per_key(
-        ordered, "_hc_host", max_per_host, [F.col("_hc_ord"), F.col(url_col)]
+    w = Window.partitionBy("_hc_host").orderBy(F.col("_hc_ord"), F.col(url_col))
+    return (
+        ordered.withColumn("_hc_rn", F.row_number().over(w))
+        .where(F.col("_hc_rn") <= max_per_host)
+        .drop("_hc_host", "_hc_ord", "_hc_rn")
     )
-    return capped.drop("_hc_host", "_hc_ord")

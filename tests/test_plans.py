@@ -375,3 +375,28 @@ def test_dsir_scoring_is_scan_shaped(spark):
     assert iplan.count("Exchange hashpartitioning") == 1, iplan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_columnar_gate_legs_scan_shaped(spark):
+    """q94 (robots gate) and q95 (outlinks) are codegen'd expressions
+    over the html column: no Exchange, no Join of any kind — the
+    cheapest possible plans, free to fuse into any scan."""
+    for name in ("q94_robots_noindex", "q95_html_outlinks"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_host_cap_window_group_limit(spark):
+    """q96: the per-host cap must compile to Catalyst's two-phase
+    top-n — a PARTIAL WindowGroupLimit before the one host exchange
+    (bounding a mega-host's post-shuffle group at n x P rows) and the
+    Final limit after it. Losing the Partial node means the rank
+    filter drifted away from its window and a mega-host once again
+    ships every page into one task."""
+    plan = plan_of(spark, "q96_host_cap")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
+    wgl = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    assert any("Partial" in l for l in wgl), plan
+    assert any("Final" in l for l in wgl), plan
