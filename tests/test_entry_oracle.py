@@ -43,6 +43,10 @@ SUBSET = [
     "q90_html_content_spans",
     "q91_boilerplate_stats",
     "q92_dsir_importance",
+    "q93_html_metadata",
+    "q94_robots_noindex",
+    "q95_html_outlinks",
+    "q96_host_cap",
 ]
 
 
