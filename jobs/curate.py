@@ -129,6 +129,7 @@ def run(
     transitive_near_dups: bool = False,
     history_dedup: bool = False,
     drop_noindex: bool = False,
+    host_cap: int | None = None,
 ) -> dict:
     from pdf_parser_spark.fsutil import ensure_local_path
 
@@ -142,7 +143,7 @@ def run(
         return _run(
             input_path, outdir, spark, resume, near_dups,
             near_dup_threshold, quarantine, caches, snapshots, input_format,
-            transitive_near_dups, history_dedup, drop_noindex,
+            transitive_near_dups, history_dedup, drop_noindex, host_cap,
         )
     finally:
         for c in caches:
@@ -166,6 +167,7 @@ def _run(
     transitive_near_dups: bool = False,
     history_dedup: bool = False,
     drop_noindex: bool = False,
+    host_cap: int | None = None,
 ) -> dict:
     t0 = time.perf_counter()
     out = Path(outdir)
@@ -315,6 +317,29 @@ def _run(
     # against historical text: exact twins via the md5 fp, near-dups
     # via banded-LSH bucket join + signature-agreement Jaccard
     # estimate (operators/dedup.near_dups_vs_history).
+    # --- per-host cap (host-spam guard) -------------------------------
+    # Applied AFTER within-batch dedup (a host's near-dup copies must
+    # not consume its budget) and BEFORE history dedup (capped-out
+    # docs are dropped either way — skipping the history join for
+    # them is free accuracy-neutral work avoided; they never enter
+    # the fingerprint store because they are not curated).
+    n_host_capped = 0
+    cap_losers = None
+    if host_cap is not None:
+        from pdf_parser_spark.operators import mixing as mx
+
+        kept_cap = mx.host_cap(survivors, host_cap, url_col="url")
+        cap_losers = (
+            survivors.select("url")
+            .join(kept_cap.select("url"), on="url", how="left_anti")
+            .persist()
+        )
+        caches.append(cap_losers)
+        n_host_capped = cap_losers.count()
+        if n_host_capped:
+            survivors = survivors.join(cap_losers, on="url", how="left_anti")
+        t = _mark("host_cap", t)
+
     n_hist_exact = n_hist_near = healed = n_appended = 0
     hist_exact_hits = hist_near_hits = new_sigs = None
     if history_dedup:
@@ -398,6 +423,10 @@ def _run(
             q_all = q_all.unionByName(
                 losers.select("url", F.lit("near_dup").alias("reason"))
             )
+        if cap_losers is not None and n_host_capped:
+            q_all = q_all.unionByName(
+                cap_losers.select("url", F.lit("host_cap").alias("reason"))
+            )
         if hist_exact_hits is not None:
             q_all = q_all.unionByName(
                 hist_exact_hits.select("url", F.lit("exact_dup_history").alias("reason"))
@@ -457,6 +486,8 @@ def _run(
         "dropped_dup_lines": funnel["drop_dup_lines"] or 0,
         "dropped_exact_dup": n_exact_dropped,
         "dropped_near_dup": n_near_dropped,
+        "dropped_host_cap": n_host_capped,
+        "host_cap": host_cap,
         "near_dup_mode": (
             ("transitive" if transitive_near_dups else "pairwise") if near_dups else "off"
         ),
@@ -465,7 +496,11 @@ def _run(
         "dropped_near_dup_history": n_hist_near,
         "store_healed_docs": healed,
         "store_appended_docs": n_appended,
-        "newly_curated": n_after_exact - n_near_dropped - n_hist_exact - n_hist_near,
+        "newly_curated": n_after_exact
+        - n_near_dropped
+        - n_host_capped
+        - n_hist_exact
+        - n_hist_near,
         "total_curated": n_curated,
         "wall_sec": round(time.perf_counter() - t0, 2),
         "stage_secs": stage_secs,
@@ -509,6 +544,15 @@ def main() -> None:
         "quarantined (reason robots_noindex) before the quality funnel, "
         "via a columnar regex in the same single pass over raw docs",
     )
+    ap.add_argument(
+        "--host-cap",
+        type=int,
+        default=None,
+        help="keep at most N docs per host among the batch's survivors "
+        "(deterministic hash-ordered sample; losers quarantined with "
+        "reason host_cap). Compiles to Catalyst's two-phase "
+        "WindowGroupLimit — mega-hosts never serialize into one task.",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
     spark = get_spark(app_name="curate", cpus=args.cpus)
@@ -526,6 +570,7 @@ def main() -> None:
                 transitive_near_dups=args.transitive_near_dups,
                 history_dedup=args.history_dedup,
                 drop_noindex=args.drop_noindex,
+                host_cap=args.host_cap,
             )
         )
     )

@@ -726,3 +726,39 @@ def test_curate_drop_noindex_quarantines_optouts(spark, tmp_path):
     r2 = run_curate(corpus, out2, spark=spark, resume=False)
     assert r2["dropped_robots_noindex"] == 0
     assert r2["newly_curated"] >= r["newly_curated"]
+
+
+def test_curate_host_cap_stage(spark, tmp_path):
+    """--host-cap keeps at most N survivors per host, quarantines the
+    rest under their own reason, and the funnel accounting identity
+    still closes with the new stage in it."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate import run as run_curate
+    from pdf_parser_spark.operators.mixing import host_of
+
+    corpus = str(tmp_path / "hdocs.parquet")
+    write_documents(synthetic_documents(spark, 48, seed=42), corpus)
+    out = str(tmp_path / "hout")
+
+    r = run_curate(corpus, out, spark=spark, resume=False, host_cap=3)
+    assert r["host_cap"] == 3
+    assert (
+        r["dropped_robots_noindex"]
+        + r["dropped_gopher"]
+        + r["dropped_dup_lines"]
+        + r["dropped_exact_dup"]
+        + r["dropped_near_dup"]
+        + r["dropped_host_cap"]
+        + r["newly_curated"]
+    ) == r["new_docs"] == 48
+    curated = spark.read.parquet(f"{out}/curated")
+    per_host = curated.groupBy(host_of(F.col("url")).alias("h")).count()
+    assert per_host.agg(F.max("count")).first()[0] <= 3
+    assert curated.count() == r["newly_curated"]
+    q = spark.read.parquet(f"{out}/quarantine")
+    assert q.where("reason = 'host_cap'").count() == r["dropped_host_cap"]
+    assert r["dropped_host_cap"] > 0  # the skewed-host corpus exceeds 3/host
+    # resume with the same cap: nothing re-enters
+    r2 = run_curate(corpus, out, spark=spark, resume=True, host_cap=3)
+    assert r2["newly_curated"] == 0 and r2["dropped_host_cap"] == 0
