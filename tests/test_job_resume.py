@@ -762,3 +762,54 @@ def test_curate_host_cap_stage(spark, tmp_path):
     # resume with the same cap: nothing re-enters
     r2 = run_curate(corpus, out, spark=spark, resume=True, host_cap=3)
     assert r2["newly_curated"] == 0 and r2["dropped_host_cap"] == 0
+
+
+def test_curate_all_stages_compose(spark, tmp_path):
+    """Every funnel stage enabled at once — robots opt-out, quality,
+    PII, exact dedup, transitive near-dup closure, host cap, history
+    dedup — in one run plus a resume: the accounting identity closes
+    with every stage's counter in it, quarantine reasons partition
+    the dropped set, and the fingerprint store tracks exactly the
+    curated survivors."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate import run as run_curate
+
+    corpus = str(tmp_path / "alldocs.parquet")
+    docs = synthetic_documents(spark, 40, seed=42).withColumn(
+        "html",
+        F.when(
+            F.crc32("url") % 5 == 0,
+            F.concat(F.lit(b'<meta name="robots" content="noindex">'), F.col("html")),
+        ).otherwise(F.col("html")),
+    )
+    docs.write.mode("overwrite").parquet(corpus)
+    out = str(tmp_path / "allout")
+
+    kw = dict(
+        drop_noindex=True,
+        transitive_near_dups=True,
+        host_cap=4,
+        history_dedup=True,
+    )
+    r = run_curate(corpus, out, spark=spark, resume=False, **kw)
+    drops = [
+        "dropped_robots_noindex", "dropped_gopher", "dropped_dup_lines",
+        "dropped_exact_dup", "dropped_near_dup", "dropped_host_cap",
+        "dropped_exact_dup_history", "dropped_near_dup_history",
+    ]
+    assert sum(r[k] for k in drops) + r["newly_curated"] == r["new_docs"] == 40
+    assert r["dropped_robots_noindex"] > 0 and r["dropped_host_cap"] > 0
+
+    curated = spark.read.parquet(f"{out}/curated")
+    q = spark.read.parquet(f"{out}/quarantine")
+    # curated/quarantined url sets are disjoint and exhaustive over new docs
+    assert curated.join(q, "url", "left_semi").count() == 0
+    assert curated.count() + q.select("url").distinct().count() == 40
+    # the store holds exactly the curated survivors
+    store = spark.read.parquet(f"{out}/fingerprints")
+    assert store.count() == curated.count()
+    assert store.join(curated, "url", "left_anti").count() == 0
+
+    r2 = run_curate(corpus, out, spark=spark, resume=True, **kw)
+    assert r2["new_docs"] == 0 and r2["newly_curated"] == 0
